@@ -1,0 +1,204 @@
+"""Flax linen building blocks over the sparse engine.
+
+Mirrors the reference block set (/root/reference/lidiff/models/minkunet.py:
+13-80): BasicConvolutionBlock (conv+BN+ReLU), BasicDeconvolutionBlock
+(transpose conv+BN+ReLU), ResidualBlock — re-designed as masked, static-shape
+ops over precomputed kernel maps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lidiff_tpu.ops.grid import KernelMap, LevelGeom
+from lidiff_tpu.ops.sparse_conv import (masked_moments, sparse_conv,
+                                        sparse_conv_transpose)
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    """He-uniform over (taps * in_channels) fan-in, the sparse-conv analog of
+    torch's default conv init."""
+    fan_in = shape[0] * shape[1] if len(shape) == 3 else shape[0]
+    bound = (6.0 / fan_in) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution over a precomputed kernel map."""
+    features: int
+    taps: int = 27
+
+    @nn.compact
+    def __call__(self, feats, kmap: KernelMap, out_mask):
+        w = self.param("kernel", _kaiming,
+                       (self.taps, feats.shape[-1], self.features))
+        return sparse_conv(feats, kmap, w, out_mask)
+
+
+class SparseConvTranspose(nn.Module):
+    """ks=2 / stride-2 generative transpose conv onto the finer level."""
+    features: int
+    taps: int = 8
+
+    @nn.compact
+    def __call__(self, coarse_feats, parent_idx, tap, fine_mask):
+        w = self.param("kernel", _kaiming,
+                       (self.taps, coarse_feats.shape[-1], self.features))
+        return sparse_conv_transpose(coarse_feats, parent_idx, tap, w,
+                                     fine_mask)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid voxels (torch BatchNorm1d semantics: biased var
+    for normalization, unbiased for the running estimate, momentum 0.1).
+
+    `axis_name` turns it into a cross-replica sync BN
+    (MinkowskiSyncBatchNorm parity, reference train.py:90).
+    """
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, mask, train: bool):
+        C = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,)))
+        if train:
+            mean, var, cnt = masked_moments(feats, mask, self.axis_name)
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (feats - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[:, None], y, 0)
+
+
+class ConvBNReLU(nn.Module):
+    """BasicConvolutionBlock analog (minkunet.py:13-29). With taps=8 it is
+    the ks=2/stride-2 down conv (output voxels = next coarser level)."""
+    features: int
+    taps: int = 27
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, kmap, out_mask, train: bool):
+        x = SparseConv(self.features, self.taps)(feats, kmap, out_mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, out_mask, train)
+        return nn.relu(x)
+
+
+class DeconvBNReLU(nn.Module):
+    """BasicDeconvolutionBlock analog (minkunet.py:32-46)."""
+    features: int
+
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, coarse_feats, parent_idx, tap, fine_mask, train: bool):
+        x = SparseConvTranspose(self.features)(coarse_feats, parent_idx, tap,
+                                               fine_mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine_mask, train)
+        return nn.relu(x)
+
+
+class ResidualBlock(nn.Module):
+    """ResidualBlock analog (minkunet.py:49-80), stride 1 only: two ks=3
+    convs + BN with a (1x1 conv + BN) shortcut when channels change."""
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, kmap, mask, train: bool):
+        x = SparseConv(self.features, 27)(feats, kmap, mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, mask, train)
+        x = nn.relu(x)
+        x = SparseConv(self.features, 27)(x, kmap, mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, mask, train)
+        if feats.shape[-1] == self.features:
+            short = feats
+        else:
+            # 1x1 conv == per-voxel dense
+            short = nn.Dense(self.features, use_bias=False,
+                             kernel_init=_kaiming)(feats)
+            short = MaskedBatchNorm(axis_name=self.axis_name)(short, mask,
+                                                              train)
+        return nn.relu(x + short)
+
+
+class MLP(nn.Module):
+    """Linear -> LeakyReLU(0.1) -> Linear, the gate/head pattern used
+    throughout MinkUNetDiff (minkunet.py:165-181 etc.)."""
+    hidden: int
+    out: int
+    negative_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.leaky_relu(x, self.negative_slope)
+        return nn.Dense(self.out)(x)
+
+
+class DownStage(nn.Module):
+    """stage_i pattern (minkunet.py:102-124 / 183-262): ks=2/stride-2 down
+    conv followed by two residual blocks on the coarser level."""
+    mid: int
+    out: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, fine: LevelGeom, coarse: LevelGeom,
+                 train: bool):
+        x = ConvBNReLU(self.mid, taps=8, axis_name=self.axis_name)(
+            feats, fine.down_kmap, coarse.geom.mask, train)
+        x = ResidualBlock(self.out, self.axis_name)(
+            x, coarse.kmap3, coarse.geom.mask, train)
+        x = ResidualBlock(self.out, self.axis_name)(
+            x, coarse.kmap3, coarse.geom.mask, train)
+        return x
+
+
+class UpStage(nn.Module):
+    """up_i pattern (minkunet.py:283-374): transpose conv onto the finer
+    level, channel-concat with the skip, two residual blocks."""
+    up_ch: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, coarse_feats, skip_feats, fine: LevelGeom,
+                 train: bool):
+        y = DeconvBNReLU(self.up_ch, axis_name=self.axis_name)(
+            coarse_feats, fine.parent_idx, fine.up_tap, fine.geom.mask,
+            train)
+        y = jnp.concatenate([y, skip_feats], axis=-1)
+        y = ResidualBlock(self.up_ch, self.axis_name)(
+            y, fine.kmap3, fine.geom.mask, train)
+        y = ResidualBlock(self.up_ch, self.axis_name)(
+            y, fine.kmap3, fine.geom.mask, train)
+        return y
+
+
+class Stem(nn.Module):
+    """stem pattern (minkunet.py:93-100): two ks=3 conv+BN+ReLU at stride 1."""
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, level: LevelGeom, train: bool):
+        x = ConvBNReLU(self.features, axis_name=self.axis_name)(
+            feats, level.kmap3, level.geom.mask, train)
+        x = ConvBNReLU(self.features, axis_name=self.axis_name)(
+            x, level.kmap3, level.geom.mask, train)
+        return x

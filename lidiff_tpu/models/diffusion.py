@@ -1,0 +1,213 @@
+"""The LiDiff diffusion task, TPU-native.
+
+Functional re-design of `DiffusionPoints`
+(/root/reference/lidiff/models/models.py:18-346): DDPM training step with
+classifier-free conditioning dropout, and the DPM-Solver++(2M,SDE) sampling
+loop — here a single jitted `lax.scan` whose body re-voxelizes the moving
+cloud and runs the denoiser twice (conditioned / unconditioned).
+
+TPU-first deviations from the reference (capability-preserving):
+  * the partial-scan encoder runs ONCE before the loop — its input never
+    changes across steps (the reference re-encodes every step,
+    models.py:98-103, because ME coordinate maps would leak otherwise);
+  * geometry (voxel pyramid + kernel maps) is built once per step and shared
+    by the conditioned and unconditioned denoiser passes;
+  * everything is static-shape; there is no per-step host round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from lidiff_tpu.diffusion.ddpm import DDPMCoeffs, make_ddpm, q_sample
+from lidiff_tpu.diffusion.dpm_solver import (DPMSolver, init_state,
+                                             make_dpm_solver, solver_step)
+from lidiff_tpu.models.minkunet import MinkGlobalEnc, MinkUNetDiff
+from lidiff_tpu.ops.grid import Pyramid, build_pyramid
+
+
+class DiffusionModel(nn.Module):
+    """Partial-scan encoder + conditional denoiser under one param tree."""
+    out_dim: int = 96
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        self.partial_enc = MinkGlobalEnc(axis_name=self.axis_name)
+        self.denoiser = MinkUNetDiff(out_dim=self.out_dim,
+                                     axis_name=self.axis_name)
+
+    def encode_partial(self, pyr_part: Pyramid, train: bool = False):
+        return self.partial_enc(pyr_part, train)
+
+    def denoise(self, pyr_full: Pyramid, part_feats, part_geom, t,
+                train: bool = False):
+        return self.denoiser(pyr_full, part_feats, part_geom, t, train)
+
+    def __call__(self, pyr_full: Pyramid, pyr_part: Pyramid, t,
+                 train: bool = False):
+        part_feats = self.encode_partial(pyr_part, train)
+        part_geom = pyr_part.levels[-1].geom
+        return self.denoise(pyr_full, part_feats, part_geom, t, train)
+
+
+@struct.dataclass
+class DiffusionSchedules:
+    coeffs: DDPMCoeffs
+    solver: DPMSolver
+
+
+class DiffusionTask:
+    """Bundles config, modules and the pure train/sample functions.
+
+    All heavy functions are pure (params, batch, rng) -> outputs so callers
+    can jit / shard_map them freely.
+    """
+
+    def __init__(self, cfg, axis_name: Optional[str] = None):
+        self.cfg = cfg
+        d = cfg["diff"]
+        self.coeffs = make_ddpm(d["beta_func"], d["t_steps"],
+                                d.get("beta_start"), d.get("beta_end"))
+        self.solver = make_dpm_solver(d["beta_func"], d["t_steps"],
+                                      d["s_steps"], d.get("beta_start"),
+                                      d.get("beta_end"))
+        self.model = DiffusionModel(out_dim=cfg["model"]["out_dim"],
+                                    axis_name=axis_name)
+        self.resolution = float(cfg["data"]["resolution"])
+        self.full_caps = list(cfg["tpu"]["full_capacities"])
+        self.part_caps = list(cfg["tpu"]["part_capacities"])
+        self.num_levels = int(cfg["tpu"]["num_levels"])
+        self.w_uncond = float(cfg["train"]["uncond_w"])
+        self.uncond_prob = float(cfg["train"]["uncond_prob"])
+        self.reg_weight = float(cfg["diff"]["reg_weight"])
+
+    # ---------------- geometry ----------------
+
+    def pyramid_full(self, points) -> Pyramid:
+        return build_pyramid(points, self.resolution, self.full_caps,
+                             self.num_levels)
+
+    def pyramid_part(self, points) -> Pyramid:
+        return build_pyramid(points, self.resolution, self.part_caps,
+                             self.num_levels)
+
+    # ---------------- init ----------------
+
+    def init(self, key, batch_size: int = 1, n_full: int = 1024,
+             n_part: int = 128):
+        kp, kf, kx = jax.random.split(key, 3)
+        pts = jax.random.normal(kf, (batch_size, n_full, 3))
+        part = jax.random.normal(kp, (batch_size, n_part, 3))
+        pyr_full = self.pyramid_full(pts)
+        pyr_part = self.pyramid_part(part)
+        t = jnp.zeros((batch_size,), jnp.int32)
+        return self.model.init(kx, pyr_full, pyr_part, t, train=False)
+
+    # ---------------- training ----------------
+
+    def loss_fn(self, params, batch_stats, batch: dict, key):
+        """One training loss evaluation (reference models.py:180-217).
+
+        batch: {'pcd_full': [B,N,3], 'pcd_part': [B,Np,3]}.
+        Returns (loss, (new_batch_stats, metrics)).
+        """
+        x0 = batch["pcd_full"]
+        part = batch["pcd_part"]
+        B = x0.shape[0]
+        k_noise, k_t, k_drop = jax.random.split(key, 3)
+        noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
+        t = jax.random.randint(k_t, (B,), 0, self.coeffs.t_steps)
+
+        # point-local q-sample: noise the offsets around the anchors
+        x_t = x0 + q_sample(self.coeffs, jnp.zeros_like(x0), t, noise)
+
+        # classifier-free dropout: whole-batch coin flip, matching
+        # models.py:195-200 (single-item batches never drop)
+        drop = (jax.random.uniform(k_drop, ()) < self.uncond_prob) & (B > 1)
+        part_in = jnp.where(drop, 0.0, 1.0) * part
+
+        pyr_full = self.pyramid_full(x_t)
+        pyr_part = self.pyramid_part(part_in)
+
+        eps_pred, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pyr_full, pyr_part, t, True, mutable=["batch_stats"])
+
+        loss_mse = jnp.mean((eps_pred - noise) ** 2)
+        loss_mean = jnp.mean(eps_pred) ** 2
+        loss_std = (jnp.std(eps_pred) - 1.0) ** 2
+        loss = loss_mse + self.reg_weight * (loss_mean + loss_std)
+        metrics = {"loss": loss, "loss_mse": loss_mse,
+                   "loss_mean": loss_mean, "loss_std": loss_std}
+        return loss, (mutated["batch_stats"], metrics)
+
+    # ---------------- sampling ----------------
+
+    def denoise_pair(self, variables, points, part_feats_c, part_geom_c,
+                     part_feats_u, part_geom_u, t):
+        """Classifier-free guided noise prediction at the current cloud.
+        Geometry is built once and shared by both passes
+        (cf. reference classfree_forward, models.py:98-103)."""
+        pyr = self.pyramid_full(points)
+        tvec = jnp.full((points.shape[0],), t, jnp.int32)
+        eps_c = self.model.apply(variables, pyr, part_feats_c, part_geom_c,
+                                 tvec, False, method=DiffusionModel.denoise)
+        eps_u = self.model.apply(variables, pyr, part_feats_u, part_geom_u,
+                                 tvec, False, method=DiffusionModel.denoise)
+        return eps_u + self.w_uncond * (eps_c - eps_u)
+
+    def sample(self, variables, x_init, key, w_uncond: float | None = None,
+               solver: DPMSolver | None = None, part: jnp.ndarray | None = None):
+        """Full completion sampling loop (reference p_sample_loop,
+        models.py:132-151) as one `lax.scan`.
+
+        Args:
+          variables: {'params', 'batch_stats'}.
+          x_init: [B, N, 3] anchors (partial scan tiled 10x).
+          part: [B, Np, 3] partial scan (conditioning); default: x_init's
+            first N/10 points are NOT assumed — pass explicitly.
+        Returns [B, N, 3] completed points.
+        """
+        solver = solver or self.solver
+        w = self.w_uncond if w_uncond is None else w_uncond
+        if part is None:
+            raise ValueError("pass the partial cloud for conditioning")
+
+        # conditioning features: computed once, constant across steps
+        pyr_c = self.pyramid_part(part)
+        pyr_u = self.pyramid_part(jnp.zeros_like(part))
+        feats_c = self.model.apply(variables, pyr_c, False,
+                                   method=DiffusionModel.encode_partial)
+        feats_u = self.model.apply(variables, pyr_u, False,
+                                   method=DiffusionModel.encode_partial)
+        geom_c = pyr_c.levels[-1].geom
+        geom_u = pyr_u.levels[-1].geom
+
+        k0, k_loop = jax.random.split(key)
+        offset0 = jax.random.normal(k0, x_init.shape, x_init.dtype)
+
+        def body(carry, i):
+            state, k = carry
+            k, k1 = jax.random.split(k)
+            t = solver.timesteps[i]
+            points = x_init + state.sample
+            tvec = jnp.full((points.shape[0],), t, jnp.int32)
+            pyr = self.pyramid_full(points)
+            eps_c = self.model.apply(variables, pyr, feats_c, geom_c, tvec,
+                                     False, method=DiffusionModel.denoise)
+            eps_u = self.model.apply(variables, pyr, feats_u, geom_u, tvec,
+                                     False, method=DiffusionModel.denoise)
+            eps = eps_u + w * (eps_c - eps_u)
+            z = jax.random.normal(k1, state.sample.shape, state.sample.dtype)
+            state = solver_step(solver, state, eps, z)
+            return (state, k), None
+
+        (state, _), _ = jax.lax.scan(body, (init_state(offset0), k_loop),
+                                     jnp.arange(solver.num_steps))
+        return x_init + state.sample

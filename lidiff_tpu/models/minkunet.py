@@ -1,0 +1,161 @@
+"""Sparse-voxel UNets in Flax.
+
+TPU-native re-designs of the reference networks
+(/root/reference/lidiff/models/minkunet.py):
+
+  * `MinkGlobalEnc`  (ref :83-141)  — partial-scan encoder, stem + 4 down
+    stages, returns stage-4 (stride-16, 256-ch) features.
+  * `MinkUNetDiff`   (ref :144-497) — conditional denoiser: 4-down/4-up UNet
+    whose input at every stage is gated by w = MLP([1-NN-matched partial
+    feature, timestep embedding]) (ref :420-497).
+  * `MinkUNet`       (ref :500-619) — unconditional UNet for the refinement
+    offsets, Tanh head.
+
+All geometry (voxel sets, kernel maps, parent maps, point->voxel map) comes
+precomputed in a `Pyramid`, so the module bodies are pure gather/GEMM over
+static shapes.  Channel plan cs = [32,32,64,128,256,256,128,96,96]
+(ref :88/:150/:507).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from lidiff_tpu.models.blocks import (MLP, DownStage, Stem, UpStage)
+from lidiff_tpu.ops.grid import Pyramid, VoxelGeom, slice_to_points
+from lidiff_tpu.ops.knn import match_features
+
+CS = (32, 32, 64, 128, 256, 256, 128, 96, 96)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (ref minkunet.py:390-401)."""
+    half = dim // 2
+    freqs = jnp.exp(np.log(10000.0) / (half - 1) *
+                    -jnp.arange(half, dtype=jnp.float32))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class MinkGlobalEnc(nn.Module):
+    """Partial-scan encoder -> stage-4 conditioning features."""
+    cr: float = 1.0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, pyr: Pyramid, train: bool = False):
+        cs = [int(self.cr * c) for c in CS]
+        lv = pyr.levels
+        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
+        x1 = DownStage(cs[0], cs[1], self.axis_name)(x0, lv[0], lv[1], train)
+        x2 = DownStage(cs[1], cs[2], self.axis_name)(x1, lv[1], lv[2], train)
+        x3 = DownStage(cs[2], cs[3], self.axis_name)(x2, lv[2], lv[3], train)
+        x4 = DownStage(cs[3], cs[4], self.axis_name)(x3, lv[3], lv[4], train)
+        return x4          # [V4, 256] at stride 16
+
+
+class _StageGate(nn.Module):
+    """Per-voxel conditioning gate: w = latemp(cat(latent(match), temp(t)))
+    (ref minkunet.py:424-429 and analogous blocks). `swap` reproduces the
+    up1 quirk where the concat order is (t, p) (ref :461)."""
+    gate_out: int
+    latemp_hidden: int
+    swap: bool = False
+
+    @nn.compact
+    def __call__(self, feats, geom: VoxelGeom, part_feats, part_geom,
+                 temp_emb):
+        c4 = part_feats.shape[-1]
+        m = match_features(geom.coords, geom.mask, part_geom.coords,
+                           part_geom.mask, part_feats)
+        p = MLP(c4, c4, name="latent")(m)
+        t = MLP(temp_emb.shape[-1], c4, name="temp")(temp_emb)
+        t_vox = t[geom.coords[:, 0]]                     # batch-id gather
+        pt = jnp.concatenate([t_vox, p] if self.swap else [p, t_vox],
+                             axis=-1)
+        w = MLP(self.latemp_hidden, self.gate_out, name="latemp")(pt)
+        return feats * jnp.where(geom.mask[:, None], w, 0)
+
+
+class MinkUNetDiff(nn.Module):
+    """Conditional denoiser. Returns per-point noise prediction [B, N, 3]."""
+    out_dim: int = 96          # timestep-embedding width (ref models.py:76)
+    cr: float = 1.0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, pyr: Pyramid, part_feats, part_geom: VoxelGeom,
+                 t: jnp.ndarray, train: bool = False):
+        cs = [int(self.cr * c) for c in CS]
+        lv = pyr.levels
+        temp = timestep_embedding(t, self.out_dim)
+
+        # (gate_out, latemp_hidden) per stage; hidden widths follow the
+        # reference latemp_* layer plans (minkunet.py:171-175, 299-303,
+        # 327-331, 355-359)
+        def gate(out, hidden, swap=False, name=None):
+            return _StageGate(out, hidden, swap, name=name)
+
+        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
+        g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, part_feats,
+                                                part_geom, temp)
+        x1 = DownStage(cs[0], cs[1], self.axis_name)(g0, lv[0], lv[1], train)
+        g1 = gate(cs[1], cs[4], name="gate_s2")(x1, lv[1].geom, part_feats,
+                                                part_geom, temp)
+        x2 = DownStage(cs[1], cs[2], self.axis_name)(g1, lv[1], lv[2], train)
+        g2 = gate(cs[2], cs[4], name="gate_s3")(x2, lv[2].geom, part_feats,
+                                                part_geom, temp)
+        x3 = DownStage(cs[2], cs[3], self.axis_name)(g2, lv[2], lv[3], train)
+        g3 = gate(cs[3], cs[4], name="gate_s4")(x3, lv[3].geom, part_feats,
+                                                part_geom, temp)
+        x4 = DownStage(cs[3], cs[4], self.axis_name)(g3, lv[3], lv[4], train)
+
+        g4 = gate(cs[4], cs[4], swap=True, name="gate_u1")(
+            x4, lv[4].geom, part_feats, part_geom, temp)
+        y1 = UpStage(cs[5], self.axis_name)(g4, x3, lv[3], train)
+        g5 = gate(cs[5], cs[5], name="gate_u2")(y1, lv[3].geom, part_feats,
+                                                part_geom, temp)
+        y2 = UpStage(cs[6], self.axis_name)(g5, x2, lv[2], train)
+        g6 = gate(cs[6], cs[6], name="gate_u3")(y2, lv[2].geom, part_feats,
+                                                part_geom, temp)
+        y3 = UpStage(cs[7], self.axis_name)(g6, x1, lv[1], train)
+        g7 = gate(cs[7], cs[7], name="gate_u4")(y3, lv[1].geom, part_feats,
+                                                part_geom, temp)
+        y4 = UpStage(cs[8], self.axis_name)(g7, x0, lv[0], train)
+
+        # per-point head after TensorField slice-back (ref :376-380, :497)
+        pt_feats = slice_to_points(y4, pyr.point2voxel)
+        out = MLP(20, 3, name="head")(pt_feats)
+        return out
+
+
+class MinkUNet(nn.Module):
+    """Unconditional UNet; per-point head Linear->LeakyReLU->Linear->Tanh
+    with out_channels = 3 * up_factor (ref :500-619)."""
+    out_channels: int = 18
+    cr: float = 1.0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, pyr: Pyramid, train: bool = False):
+        cs = [int(self.cr * c) for c in CS]
+        lv = pyr.levels
+        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
+        x1 = DownStage(cs[0], cs[1], self.axis_name)(x0, lv[0], lv[1], train)
+        x2 = DownStage(cs[1], cs[2], self.axis_name)(x1, lv[1], lv[2], train)
+        x3 = DownStage(cs[2], cs[3], self.axis_name)(x2, lv[2], lv[3], train)
+        x4 = DownStage(cs[3], cs[4], self.axis_name)(x3, lv[3], lv[4], train)
+        y1 = UpStage(cs[5], self.axis_name)(x4, x3, lv[3], train)
+        y2 = UpStage(cs[6], self.axis_name)(y1, x2, lv[2], train)
+        y3 = UpStage(cs[7], self.axis_name)(y2, x1, lv[1], train)
+        y4 = UpStage(cs[8], self.axis_name)(y3, x0, lv[0], train)
+        pt_feats = slice_to_points(y4, pyr.point2voxel)
+        out = MLP(20, self.out_channels, name="head")(pt_feats)
+        return jnp.tanh(out)

@@ -1,0 +1,66 @@
+"""Batched 1-NN coordinate matching.
+
+Replaces the reference's PyKeOps `argKmin(1)` conditioning match
+(/root/reference/lidiff/models/minkunet.py:403-418): for every voxel of the
+denoiser's current level, find the nearest voxel of the partial-scan
+encoder's stage-4 feature bank (same batch item only) and gather its feature.
+
+Formulated as blockwise |q|^2 - 2 q.r^T + |r|^2 so the cross term rides the
+MXU; blocks are processed with `lax.map` to bound the [block, V_ref]
+distance tile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e18)
+
+
+def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
+                 r_coords: jnp.ndarray, r_mask: jnp.ndarray,
+                 block: int = 2048) -> jnp.ndarray:
+    """For each query voxel, the index of the nearest reference voxel.
+
+    Args:
+      q_coords: [Vq, 4] int (batch, x, y, z) — ME-style unit-voxel coords.
+      q_mask:   [Vq] validity.
+      r_coords: [Vr, 4]; r_mask: [Vr].
+    Returns:
+      [Vq] int32 indices into the reference arrays (arbitrary for invalid
+      queries; callers mask downstream).
+    """
+    Vq = q_coords.shape[0]
+    nb = -(-Vq // block)
+    pad = nb * block - Vq
+
+    qc = q_coords.astype(jnp.float32)
+    rc = r_coords.astype(jnp.float32)
+    r_xyz = rc[:, 1:]
+    r_b = rc[:, 0]
+    r_sq = jnp.sum(r_xyz * r_xyz, axis=-1)
+    r_bad = ~r_mask
+
+    qc_p = jnp.pad(qc, ((0, pad), (0, 0)))
+
+    def body(q_blk):
+        q_xyz = q_blk[:, 1:]
+        cross = jnp.dot(q_xyz, r_xyz.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = r_sq[None, :] - 2.0 * cross
+        penal = (q_blk[:, 0:1] != r_b[None, :]) | r_bad[None, :]
+        d = jnp.where(penal, _BIG, d)
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    idx = jax.lax.map(body, qc_p.reshape(nb, block, 4))
+    return idx.reshape(-1)[:Vq]
+
+
+def match_features(q_coords, q_mask, r_coords, r_mask, r_feats,
+                   block: int = 2048) -> jnp.ndarray:
+    """Gather the nearest reference voxel's features for every query voxel
+    (zeros for invalid queries)."""
+    idx = nn_match_idx(q_coords, q_mask, r_coords, r_mask, block)
+    out = r_feats[idx]
+    return jnp.where(q_mask[:, None], out, 0)

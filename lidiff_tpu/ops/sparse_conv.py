@@ -1,0 +1,105 @@
+"""Functional sparse convolution ops (gather -> GEMM -> accumulate).
+
+TPU-native replacements for MinkowskiEngine's generalized sparse convolution
+(reference call sites: /root/reference/lidiff/models/minkunet.py:13-80 conv /
+deconv / BN blocks).  All shapes are static; kernel maps come precomputed
+from `ops.grid.build_pyramid`, so a conv is K gathers + K GEMMs feeding the
+MXU — no coordinate bookkeeping on the hot path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lidiff_tpu.ops.grid import KernelMap
+
+# f32 matmuls must not silently run in bf16 (the backend default on TPU —
+# and on this JAX build even on CPU). Speed on the MXU comes from casting
+# features to bf16 explicitly, not from degraded f32 accumulation.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def sparse_conv(feats: jnp.ndarray, kmap: KernelMap, weights: jnp.ndarray,
+                out_mask: jnp.ndarray, *, fused: bool = False) -> jnp.ndarray:
+    """Sparse convolution.
+
+    Args:
+      feats: [V_in, Cin] input voxel features (padding rows must be zero or
+        will be masked by `kmap.hit`).
+      kmap: gather map [V_out, K].
+      weights: [K, Cin, Cout] per-tap weights.
+      out_mask: [V_out] validity of output voxels.
+      fused: if True, materialize the [V_out, K*Cin] gathered matrix and run
+        a single large GEMM (better MXU utilization, more memory); otherwise
+        accumulate K small GEMMs.
+    """
+    Kt, Cin, Cout = weights.shape
+    if fused:
+        g = feats[kmap.idx]                              # [V, K, Cin]
+        g = jnp.where(kmap.hit[..., None], g, 0)
+        out = jnp.dot(g.reshape(g.shape[0], Kt * Cin),
+                      weights.reshape(Kt * Cin, Cout),
+                      preferred_element_type=feats.dtype,
+                      precision=PRECISION)
+    else:
+        out = jnp.zeros((kmap.idx.shape[0], Cout), feats.dtype)
+        for k in range(Kt):
+            g = feats[kmap.idx[:, k]]
+            g = jnp.where(kmap.hit[:, k, None], g, 0)
+            out = out + jnp.dot(g, weights[k],
+                                preferred_element_type=feats.dtype,
+                                precision=PRECISION)
+    return jnp.where(out_mask[:, None], out, 0)
+
+
+def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
+                          tap: jnp.ndarray, weights: jnp.ndarray,
+                          fine_mask: jnp.ndarray) -> jnp.ndarray:
+    """Transpose (generative up) convolution, ks=2 / stride 2.
+
+    Every fine voxel has exactly one coarse parent; its kernel tap is its
+    position within the parent cell (ops.grid.up_maps).  out[v] =
+    coarse[parent(v)] @ W[tap(v)].
+
+    Args:
+      coarse_feats: [V_c, Cin]; parent_idx: [V_f] int32 (== V_c when absent);
+      tap: [V_f] int32 in [0, K); weights: [K, Cin, Cout]; fine_mask: [V_f].
+    """
+    Kt, Cin, Cout = weights.shape
+    Vc = coarse_feats.shape[0]
+    ok = (parent_idx < Vc) & fine_mask
+    g = coarse_feats[jnp.minimum(parent_idx, Vc - 1)]
+    g = jnp.where(ok[:, None], g, 0)
+    out = jnp.zeros((g.shape[0], Cout), coarse_feats.dtype)
+    for k in range(Kt):
+        sel = (tap == k) & ok
+        out = out + jnp.dot(jnp.where(sel[:, None], g, 0), weights[k],
+                            preferred_element_type=coarse_feats.dtype,
+                            precision=PRECISION)
+    return jnp.where(fine_mask[:, None], out, 0)
+
+
+def masked_moments(feats: jnp.ndarray, mask: jnp.ndarray,
+                   axis_name: str | None = None):
+    """Per-channel mean/variance over valid voxels; with `axis_name`, the
+    moments are reduced across the device mesh axis — the TPU-native
+    equivalent of MinkowskiSyncBatchNorm (reference train.py:90)."""
+    m = mask.astype(feats.dtype)[:, None]
+    cnt = jnp.sum(m)
+    s1 = jnp.sum(feats * m, axis=0)
+    s2 = jnp.sum((feats * feats) * m, axis=0)
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    return mean, var, cnt
+
+
+def global_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global average pool over voxels -> [C]."""
+    m = mask.astype(feats.dtype)[:, None]
+    return jnp.sum(feats * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
