@@ -1,0 +1,205 @@
+"""End-to-end scan completion pipeline (CLI).
+
+Re-design of /root/reference/lidiff/tools/diff_completion_pipeline.py:
+load diffusion + refinement checkpoints, walk a directory of scans, and for
+each scan run: range crop -> FPS to num_points/10 -> tile 10x -> jitted
+DPM-Solver completion loop -> range/z-stat crop -> refinement offsets ->
+write diff/refine .ply outputs.
+
+The device part (sampling loop + refiner) compiles once and is reused for
+every scan; pre/post-processing is host numpy. Fixes the reference's
+eval_path API mismatch by always returning (refined, diff) from
+`complete_scan` and exposing `complete_scan_diff` for single-output use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidiff_tpu.config import finalize_config
+from lidiff_tpu.diffusion.dpm_solver import make_dpm_solver
+from lidiff_tpu.models.diffusion import DiffusionTask
+from lidiff_tpu.models.refine import RefineTask
+from lidiff_tpu.ops.fps import fps
+from lidiff_tpu.train.trainer import CheckpointManager
+from lidiff_tpu.utils import ply
+from lidiff_tpu.utils.natsort import natsorted
+
+
+def load_pcd(path: str) -> np.ndarray:
+    if path.endswith(".bin"):
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
+    if path.endswith(".ply"):
+        return ply.read_ply(path)["points"]
+    if path.endswith(".npy"):
+        return np.load(path)[:, :3].astype(np.float32)
+    raise ValueError(f"unsupported point cloud format: {path}")
+
+
+class DiffCompletion:
+    """Loads both checkpoints and serves `complete_scan`."""
+
+    def __init__(self, diff_ckpt_dir: str, refine_ckpt_dir: str | None,
+                 denoising_steps: int, cond_weight: float,
+                 seed: int = 42):
+        ckpt = CheckpointManager(_ckpt_dir(diff_ckpt_dir))
+        hparams = ckpt.load_hparams()
+        if hparams is None:
+            raise FileNotFoundError(
+                f"no hparams.json next to checkpoint {diff_ckpt_dir}")
+        self.cfg = finalize_config(hparams)
+        assert denoising_steps <= int(self.cfg["diff"]["t_steps"]), (
+            f"denoising steps {denoising_steps} cannot exceed "
+            f"T={self.cfg['diff']['t_steps']}")
+        self.cfg["diff"]["s_steps"] = int(denoising_steps)
+        self.cfg["train"]["uncond_w"] = float(cond_weight)
+        self.cfg["data"]["max_range"] = 50.0
+
+        self.task = DiffusionTask(self.cfg)
+        self.solver = make_dpm_solver(
+            self.cfg["diff"]["beta_func"], int(self.cfg["diff"]["t_steps"]),
+            int(denoising_steps), self.cfg["diff"].get("beta_start"),
+            self.cfg["diff"].get("beta_end"))
+        state, _ = ckpt.restore()
+        if state is None:
+            raise FileNotFoundError(f"empty checkpoint dir {diff_ckpt_dir}")
+        self.variables = {"params": state["params"],
+                          "batch_stats": state.get("batch_stats", {})}
+
+        self.refine_task = None
+        if refine_ckpt_dir:
+            rckpt = CheckpointManager(_ckpt_dir(refine_ckpt_dir))
+            rh = rckpt.load_hparams()
+            rcfg = finalize_config(rh) if rh else self.cfg
+            self.refine_task = RefineTask(rcfg)
+            rstate, _ = rckpt.restore()
+            self.refine_vars = {"params": rstate["params"],
+                                "batch_stats": rstate.get("batch_stats", {})}
+
+        self.num_points = int(self.cfg["data"]["num_points"])
+        self.n_part = self.num_points // 10
+        self.max_range = float(self.cfg["data"]["max_range"])
+        self.key = jax.random.PRNGKey(seed)
+
+        self._sample_jit = jax.jit(
+            lambda v, x_init, part, key: self.task.sample(
+                v, x_init, key, w_uncond=float(cond_weight),
+                solver=self.solver, part=part))
+        if self.refine_task is not None:
+            self._refine_jit = jax.jit(
+                lambda v, pts: self.refine_task.forward(v, pts))
+
+    # ---------------- host pre/post ----------------
+
+    def preprocess_scan(self, scan: np.ndarray) -> np.ndarray:
+        """Crop (3.5, max_range), FPS to n_part, tile 10x
+        (ref :92-105)."""
+        dist = np.linalg.norm(scan[:, :3], axis=-1)
+        scan = scan[(dist < self.max_range) & (dist > 3.5)][:, :3]
+        scan = fps(scan.astype(np.float32), self.n_part)
+        if len(scan) < self.n_part:            # degenerate tiny scans
+            reps = int(np.ceil(self.n_part / max(len(scan), 1)))
+            scan = np.tile(scan, (reps, 1))[:self.n_part]
+        return np.tile(scan, (10, 1))[None]    # [1, num_points, 3]
+
+    def postprocess_scan(self, completed: np.ndarray,
+                         x_init: np.ndarray) -> np.ndarray:
+        """Range crop + z window from input statistics (ref :107-115)."""
+        dist = np.linalg.norm(completed, axis=-1)
+        out = completed[dist < self.max_range]
+        z = x_init[..., 2]
+        max_z = z.max()
+        min_z = z.mean() - 2 * z.std()
+        return out[(out[:, 2] < max_z) & (out[:, 2] > min_z)]
+
+    # ---------------- main entry ----------------
+
+    def complete_scan(self, scan: np.ndarray):
+        """Returns (refined [M*up,3], diff [M,3])."""
+        x_init = self.preprocess_scan(scan)
+        part = x_init[:, :self.n_part]
+        self.key, k = jax.random.split(self.key)
+        completed = np.asarray(
+            self._sample_jit(self.variables, jnp.asarray(x_init),
+                             jnp.asarray(part), k))[0]
+        post = self.postprocess_scan(completed, x_init)
+        if self.refine_task is None:
+            return post, post
+        refined = self.refine(post)
+        return refined, post
+
+    def complete_scan_diff(self, scan: np.ndarray) -> np.ndarray:
+        """Single-output variant used by eval harnesses (the reference's
+        eval_path.py:78 expected this but got a tuple — latent bug there)."""
+        refined, _ = self.complete_scan(scan)
+        return refined
+
+    def refine(self, points: np.ndarray) -> np.ndarray:
+        """Tile to the refiner's static size, predict offsets, upsample."""
+        n_static = self.num_points
+        m = len(points)
+        reps = int(np.ceil(n_static / max(m, 1)))
+        tiled = np.tile(points, (reps, 1))[:n_static]
+        offs = np.asarray(self._refine_jit(
+            self.refine_vars, jnp.asarray(tiled[None])))[0][:m]
+        up = points[:, None, :] + offs
+        return up.reshape(-1, 3)
+
+
+def _ckpt_dir(path: str) -> str:
+    """Accept either the checkpoints/ dir or the experiment dir."""
+    if os.path.isdir(os.path.join(path, "checkpoints")):
+        return os.path.join(path, "checkpoints")
+    return path
+
+
+@click.command()
+@click.option("--diff", "-d", type=str,
+              default="checkpoints/diff_net",
+              help="diffusion checkpoint directory")
+@click.option("--refine", "-r", type=str,
+              default="checkpoints/refine_net",
+              help="refinement checkpoint directory")
+@click.option("--denoising_steps", "-T", type=int, default=50)
+@click.option("--cond_weight", "-s", type=float, default=6.0)
+@click.option("--path", "-p", type=str, default="./Datasets/test/",
+              help="directory of input scans (.bin/.ply)")
+@click.option("--out", "-o", type=str, default="./results")
+@click.option("--max_scans", type=int, default=None)
+def main(diff, refine, denoising_steps, cond_weight, path, out, max_scans):
+    exp = (os.path.basename(os.path.normpath(diff)).replace("=", "")
+           + f"_T{denoising_steps}_s{cond_weight}")
+    dc = DiffCompletion(diff, refine, denoising_steps, cond_weight)
+
+    os.makedirs(f"{out}/{exp}/refine", exist_ok=True)
+    os.makedirs(f"{out}/{exp}/diff", exist_ok=True)
+    with open(f"{out}/{exp}/exp_config.yaml", "w") as f:
+        json.dump({k: v for k, v in dc.cfg.items()}, f, indent=2,
+                  default=str)
+
+    files = [f for f in natsorted(os.listdir(path))
+             if f.endswith((".bin", ".ply", ".npy"))]
+    if max_scans:
+        files = files[:max_scans]
+    for fname in files:
+        points = load_pcd(os.path.join(path, fname))
+        start = time.time()
+        refined, diff_scan = dc.complete_scan(points)
+        print(f"{fname}: {time.time() - start:.3f}s "
+              f"({len(diff_scan)} diff pts, {len(refined)} refined pts)")
+        stem = fname.split(".")[0]
+        ply.write_ply(f"{out}/{exp}/refine/{stem}.ply", refined,
+                      ply.estimate_normals(refined) if len(refined) else None)
+        ply.write_ply(f"{out}/{exp}/diff/{stem}.ply", diff_scan,
+                      ply.estimate_normals(diff_scan) if len(diff_scan) else None)
+
+
+if __name__ == "__main__":
+    main()

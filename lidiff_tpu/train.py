@@ -1,0 +1,138 @@
+"""Diffusion training CLI (reference /root/reference/lidiff/train.py).
+
+Usage: python -m lidiff_tpu.train -c lidiff_tpu/config/config.yaml
+       [-w weights_ckpt_dir] [-ckpt resume_dir] [-t]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidiff_tpu.config import finalize_config, load_config, save_config
+from lidiff_tpu.data.datasets import dataloaders
+from lidiff_tpu.models.diffusion import DiffusionTask
+from lidiff_tpu.parallel import mesh as pmesh
+from lidiff_tpu.train.trainer import CheckpointManager, Trainer
+from lidiff_tpu.utils.metrics import ChamferDistance, PrecisionRecall
+
+
+def set_deterministic(seed: int = 42):
+    np.random.seed(seed)
+
+
+@click.command()
+@click.option("--config", "-c", type=str,
+              default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "config/config.yaml"))
+@click.option("--weights", "-w", type=str, default=None,
+              help="checkpoint dir to load weights from (no resume)")
+@click.option("--checkpoint", "-ckpt", type=str, default=None,
+              help="experiment dir to resume training from")
+@click.option("--test", "-t", is_flag=True)
+@click.option("--max_steps", type=int, default=None,
+              help="cap on total optimizer steps (smoke runs)")
+def main(config, weights, checkpoint, test, max_steps):
+    set_deterministic()
+    cfg = load_config(config)
+
+    if weights is not None and test:
+        # graft inference params from the current config onto the ckpt
+        # hparams (reference train.py:52-71; we fix its missing-key bug by
+        # using .get with defaults)
+        wc = CheckpointManager(os.path.join(weights, "checkpoints"))
+        ckpt_cfg = wc.load_hparams() or dict(cfg)
+        for sec, key in [("train", "num_workers"), ("train", "n_gpus"),
+                         ("train", "batch_size"), ("data", "num_points"),
+                         ("data", "data_dir"), ("diff", "s_steps"),
+                         ("experiment", "id")]:
+            ckpt_cfg.setdefault(sec, {})[key] = cfg[sec][key]
+        ckpt_cfg["data"].setdefault("dataset_norm", False)
+        ckpt_cfg["data"].setdefault("std_axis_norm", False)
+        ckpt_cfg["data"].setdefault("max_range", 50.0)
+        cfg = finalize_config(ckpt_cfg)
+
+    n_dev = len(jax.devices())
+    axis = pmesh.DATA_AXIS if n_dev > 1 else None
+    task = DiffusionTask(cfg, axis_name=axis)
+    data = dataloaders[cfg["data"]["dataloader"]](cfg)
+
+    exp_dir = os.path.join("experiments", cfg["experiment"]["id"])
+    os.makedirs(exp_dir, exist_ok=True)
+    save_config(cfg, os.path.join(exp_dir, "hparams.yaml"))
+
+    loader = data.train_dataloader()
+    trainer = Trainer(task, cfg, exp_dir, steps_per_epoch=max(len(loader), 1))
+
+    B = int(cfg["train"]["batch_size"])
+    N = int(cfg["data"]["num_points"])
+    key = jax.random.PRNGKey(42)
+    state = trainer.init_state(key, B, N, N // 10)
+
+    src = checkpoint or weights
+    if src:
+        trainer.ckpt = CheckpointManager(os.path.join(src, "checkpoints"))
+        state = trainer.maybe_restore(state)
+        trainer.ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+        if weights and not checkpoint:
+            trainer.global_step = 0          # weights-only load
+
+    if test:
+        print("TESTING MODE")
+        run_test(task, cfg, state, data)
+        return
+
+    print(f"TRAINING MODE ({n_dev} devices)")
+    step = trainer.global_step
+    for epoch in range(int(cfg["train"]["max_epoch"])):
+        for batch in loader:
+            key, k = jax.random.split(key)
+            batch = {k2: jnp.asarray(v) for k2, v in batch.items()
+                     if k2 != "filename"}
+            t0 = time.time()
+            state, metrics = trainer.train_step(state, batch, k)
+            step += 1
+            if step % 10 == 0:
+                m = {f"train/{k2}": float(v) for k2, v in metrics.items()}
+                m["train/step_time"] = time.time() - t0
+                trainer.logger.log(step, m)
+                print(f"epoch {epoch} step {step} "
+                      + " ".join(f"{k2}={v:.4f}" for k2, v in m.items()))
+            if max_steps and step >= max_steps:
+                break
+        trainer.save(epoch, state)
+        if max_steps and step >= max_steps:
+            break
+    trainer.logger.flush()
+
+
+def run_test(task, cfg, state, data):
+    """Sampling evaluation over the validation split (reference
+    models.py:278-335): CD + PR-AUC against the GT map crops."""
+    cd = ChamferDistance()
+    pr = PrecisionRecall(float(cfg["data"]["resolution"]),
+                         2 * float(cfg["data"]["resolution"]), 100)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    sample = jax.jit(lambda v, xi, p, k: task.sample(v, xi, k, part=p))
+    key = jax.random.PRNGKey(0)
+    for i, batch in enumerate(data.val_dataloader()):
+        part = jnp.asarray(batch["pcd_part"])
+        x_init = jnp.tile(part, (1, 10, 1))
+        key, k = jax.random.split(key)
+        out = np.asarray(sample(variables, x_init, part, k))
+        for b in range(out.shape[0]):
+            cd.update(np.asarray(batch["pcd_full"][b]), out[b])
+            pr.update(np.asarray(batch["pcd_full"][b]), out[b])
+        cdm, cds = cd.compute()
+        p, r, f = pr.compute_auc()
+        print(f"[{i}] CD {cdm:.4f}+-{cds:.4f} P {p:.3f} R {r:.3f} F {f:.3f}")
+
+
+if __name__ == "__main__":
+    main()
