@@ -9,3 +9,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# persistent compilation cache: compiles are the dominant cost of this suite
+# on a 1-core host, and the graphs are identical between runs
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
