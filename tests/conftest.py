@@ -2,8 +2,27 @@
 multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin (on PYTHONPATH via /root/.axon_site) initializes even
+# under JAX_PLATFORMS=cpu and intermittently stalls CPU-only runs for
+# minutes on its tunnel. Tests are CPU-only: drop it before jax imports.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":")
+    if p and ".axon_site" not in p)
+
+os.environ["JAX_PLATFORMS"] = "cpu"   # force: the ambient env says 'axon'
+
+# The axon sitecustomize (loaded via PYTHONPATH before this conftest) calls
+# jax.config.update("jax_platforms", "axon,cpu"), which outranks the env
+# var. Override it back before any backend is initialized: tests must run
+# on local CPU, not through the TPU tunnel.
+try:
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -36,9 +36,10 @@ def test_ddpm_coeff_identities():
     c = ddpm.make_ddpm("linear", 1000, 3.5e-5, 0.007)
     ac = np.asarray(c.alphas_cumprod, np.float64)
     np.testing.assert_allclose(np.asarray(c.sqrt_alphas_cumprod) ** 2, ac,
-                               rtol=1e-4)
+                               rtol=1e-3, atol=1e-7)
     np.testing.assert_allclose(
-        np.asarray(c.sqrt_one_minus_alphas_cumprod) ** 2, 1 - ac, rtol=1e-4)
+        np.asarray(c.sqrt_one_minus_alphas_cumprod) ** 2, 1 - ac,
+        rtol=1e-3, atol=1e-7)
     # posterior mean coefficients sum: mu(x_t, x0=x_t) with eps=0 keeps x
     co1 = np.asarray(c.posterior_mean_coef1, np.float64)
     co2 = np.asarray(c.posterior_mean_coef2, np.float64)
