@@ -23,6 +23,21 @@ try:
     _jax.config.update("jax_platforms", "cpu")
 except ImportError:
     pass
+
+_cache_dir = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+
+def _late_cache_config():
+    # jax may have been imported by sitecustomize before our env vars were
+    # set; apply cache settings through the config API as well
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_late_cache_config()
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

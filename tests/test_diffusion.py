@@ -49,7 +49,7 @@ def test_ddpm_coeff_identities():
     betas = np.asarray(c.betas, np.float64)
     acp = np.asarray(c.alphas_cumprod_prev, np.float64)
     np.testing.assert_allclose(co1, betas * np.sqrt(acp) / (1 - ac),
-                               rtol=1e-4)
+                               rtol=1e-3)
 
 
 def test_q_sample_offset_formulation():
