@@ -16,12 +16,25 @@ import os
 import sys
 import time
 
+os.environ.setdefault("LIDIFF_MATMUL_PRECISION", "default")  # MXU fast path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+def _enable_compile_cache():
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     # moderate but realistic synthetic scan: ring-structured LiDAR-like
     # geometry so voxel occupancy is surface-like, not volumetric noise
     n_points = int(os.environ.get("BENCH_NUM_POINTS", 180_000))

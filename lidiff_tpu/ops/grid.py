@@ -230,6 +230,68 @@ def build_kernel_map(geom_in: VoxelGeom, geom_out: VoxelGeom,
     return KernelMap(idx=idx, hit=found)
 
 
+def down_kmap_from_pooling(fine: VoxelGeom, child2parent: jnp.ndarray,
+                           out_capacity: int) -> KernelMap:
+    """ks=2/stride-2 conv kernel map WITHOUT any hash lookups: the inputs
+    contributing to a pooled output voxel are exactly its children, already
+    known from the pooling cumsum. Each child lands in a unique
+    (parent, tap) slot, so a scatter builds the map directly.
+
+    Tap order matches `cube_offsets(2, fine.stride)` (x slowest, z fastest).
+    """
+    s = fine.stride
+    bits = (fine.coords[:, 1:] // s) % 2
+    tap = (bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]).astype(jnp.int32)
+    ok = fine.mask & (child2parent < out_capacity)
+    parent = jnp.where(ok, child2parent, out_capacity)
+    child = jnp.arange(fine.capacity, dtype=jnp.int32)
+
+    idx = jnp.zeros((out_capacity + 1, 8), jnp.int32)
+    idx = idx.at[parent, tap].set(jnp.where(ok, child, 0))[:out_capacity]
+    hit = jnp.zeros((out_capacity + 1, 8), jnp.bool_)
+    hit = hit.at[parent, tap].set(ok)[:out_capacity]
+    return KernelMap(idx=idx, hit=hit)
+
+
+def build_kmap3_columns(geom: VoxelGeom) -> KernelMap:
+    """27-tap kernel map with 9 binary searches per voxel instead of 27.
+
+    Keys sort lexicographically by (batch, x, y, z), and all coordinates at
+    a level are multiples of its stride — so within one (batch, x+dx, y+dy)
+    column the three z-targets (z-s, z, z+s) occupy at most three
+    CONSECUTIVE slots. One lower-bound search per column plus equality
+    checks at p, p+m0, p+m0+m1 resolves all three taps.
+
+    Tap order matches `cube_offsets(3, stride)`.
+    """
+    s = geom.stride
+    V = geom.capacity
+    b = geom.coords[:, 0]
+    xyz = geom.coords[:, 1:]
+
+    idx_cols = []
+    hit_cols = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            base = xyz + jnp.asarray([dx * s, dy * s, -s], jnp.int32)
+            q_hi, q_lo, _ = K.pack(b, base)
+            q_hi = jnp.where(geom.mask, q_hi, K.HI_PAD)
+            q_lo = jnp.where(geom.mask, q_lo, K.LO_PAD)
+            p, m0 = K.searchsorted_pair(geom.key_hi, geom.key_lo, q_hi, q_lo)
+            # z target keys differ only in lo by +s and +2s (no 4096 carry:
+            # z stays within the same column by construction of the coords)
+            p1 = jnp.minimum(p + m0.astype(jnp.int32), V - 1)
+            m1 = (geom.key_hi[p1] == q_hi) & (geom.key_lo[p1] == q_lo + s)
+            p2 = jnp.minimum(p1 + m1.astype(jnp.int32), V - 1)
+            m2 = (geom.key_hi[p2] == q_hi) & (geom.key_lo[p2] == q_lo + 2 * s)
+            idx_cols += [p, p1, p2]
+            hit_cols += [m0 & geom.mask, m1 & geom.mask, m2 & geom.mask]
+
+    idx = jnp.stack(idx_cols, axis=1)
+    hit = jnp.stack(hit_cols, axis=1)
+    return KernelMap(idx=idx, hit=hit)
+
+
 def up_maps(fine: VoxelGeom, child2parent: jnp.ndarray):
     """Transpose-conv (ks=2, stride 2) gather maps: every fine voxel has
     exactly one coarse parent (by construction of pooling); the kernel tap is
@@ -284,11 +346,13 @@ def build_pyramid(points: jnp.ndarray, resolution: float,
 
     levels = []
     for li, g in enumerate(geoms):
-        kmap3 = build_kernel_map(g, g, cube_offsets(3, g.stride))
+        kmap3 = build_kmap3_columns(g)
         if li + 1 < num_levels:
             coarse = geoms[li + 1]
-            # down conv: output = coarse voxels, taps {0, s_fine}^3 into fine
-            down_kmap = build_kernel_map(g, coarse, cube_offsets(2, g.stride))
+            # down conv: output = coarse voxels, taps {0, s_fine}^3 into
+            # fine — derived from the pooling cumsum, zero hash lookups
+            down_kmap = down_kmap_from_pooling(g, c2ps[li],
+                                               coarse.capacity)
             parent_idx, up_tap = up_maps(g, c2ps[li])
         else:
             down_kmap, parent_idx, up_tap = None, None, None

@@ -12,12 +12,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import os
+
 from lidiff_tpu.ops.grid import KernelMap
 
-# f32 matmuls must not silently run in bf16 (the backend default on TPU —
-# and on this JAX build even on CPU). Speed on the MXU comes from casting
-# features to bf16 explicitly, not from degraded f32 accumulation.
-PRECISION = jax.lax.Precision.HIGHEST
+# Conv GEMM precision policy. HIGHEST keeps f32 matmuls exactly f32 (needed
+# for golden tests vs numpy; the TPU/axon backends default f32 matmuls to
+# bf16 products). DEFAULT uses the MXU's fast path (bf16 products, f32
+# accumulate) — the right training/serving setting on TPU, matching how
+# mixed-precision diffusion nets are normally run.
+_PREC_MAP = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+}
+PRECISION = _PREC_MAP[os.environ.get("LIDIFF_MATMUL_PRECISION",
+                                     "highest").lower()]
+
+
+def set_precision(name: str) -> None:
+    global PRECISION
+    PRECISION = _PREC_MAP[name.lower()]
 
 
 def sparse_conv(feats: jnp.ndarray, kmap: KernelMap, weights: jnp.ndarray,

@@ -88,6 +88,8 @@ def main(config, weights, checkpoint, test, max_steps):
         return
 
     print(f"TRAINING MODE ({n_dev} devices)")
+    latest = {"state": state}
+    trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
     for epoch in range(int(cfg["train"]["max_epoch"])):
         for batch in loader:
@@ -96,6 +98,7 @@ def main(config, weights, checkpoint, test, max_steps):
                      if k2 != "filename"}
             t0 = time.time()
             state, metrics = trainer.train_step(state, batch, k)
+            latest["state"] = state
             step += 1
             if step % 10 == 0:
                 m = {f"train/{k2}": float(v) for k2, v in metrics.items()}
@@ -106,9 +109,43 @@ def main(config, weights, checkpoint, test, max_steps):
             if max_steps and step >= max_steps:
                 break
         trainer.save(epoch, state)
+        # val every 5 epochs on ~one batch (reference train.py:96-99:
+        # check_val_every_n_epoch=5, limit_val_batches=0.001)
+        if (epoch + 1) % 5 == 0:
+            try:
+                run_validation(task, cfg, state, data, trainer, step)
+            except Exception as e:
+                print(f"validation failed: {e}")
         if max_steps and step >= max_steps:
             break
     trainer.logger.flush()
+
+
+def run_validation(task, cfg, state, data, trainer, step,
+                   max_batches: int = 1):
+    cd = ChamferDistance()
+    pr = PrecisionRecall(float(cfg["data"]["resolution"]),
+                         2 * float(cfg["data"]["resolution"]), 100)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    sample = jax.jit(lambda v, xi, p, k: task.sample(v, xi, k, part=p))
+    key = jax.random.PRNGKey(7)
+    for i, batch in enumerate(data.val_dataloader()):
+        if i >= max_batches:
+            break
+        part = jnp.asarray(batch["pcd_part"])
+        x_init = jnp.tile(part, (1, 10, 1))
+        key, k = jax.random.split(key)
+        out = np.asarray(sample(variables, x_init, part, k))
+        for b in range(out.shape[0]):
+            cd.update(np.asarray(batch["pcd_full"][b]), out[b])
+            pr.update(np.asarray(batch["pcd_full"][b]), out[b])
+    cdm, cds = cd.compute()
+    p, r, f = pr.compute_auc()
+    trainer.logger.log(step, {"val/cd_mean": cdm, "val/cd_std": cds,
+                              "val/precision": p, "val/recall": r,
+                              "val/fscore": f})
+    print(f"val: CD {cdm:.4f}+-{cds:.4f} P {p:.3f} R {r:.3f} F {f:.3f}")
 
 
 def run_test(task, cfg, state, data):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Callable, Optional
 
@@ -163,3 +164,21 @@ class Trainer:
         self.ckpt.save(self.global_step,
                        {**state, "step": self.global_step},
                        hparams=self.cfg)
+
+    def install_signal_checkpointing(self, get_state):
+        """Failure handling: checkpoint on SIGTERM/SIGINT before exiting
+        (the reference only offers crash-and-resume via Lightning,
+        SURVEY.md §5). `get_state` returns the latest state dict."""
+
+        def handler(signum, frame):
+            try:
+                state = get_state()
+                if state is not None:
+                    self.save(-1, state)
+                    print(f"checkpoint saved on signal {signum}")
+            finally:
+                signal.default_int_handler(signum, frame) \
+                    if signum == signal.SIGINT else os._exit(1)
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)

@@ -13,6 +13,7 @@ os.environ["PYTHONPATH"] = ":".join(
     if p and ".axon_site" not in p)
 
 os.environ["JAX_PLATFORMS"] = "cpu"   # force: the ambient env says 'axon'
+os.environ["LIDIFF_MATMUL_PRECISION"] = "highest"   # exact f32 vs numpy
 
 # The axon sitecustomize (loaded via PYTHONPATH before this conftest) calls
 # jax.config.update("jax_platforms", "axon,cpu"), which outranks the env

@@ -1,0 +1,45 @@
+"""The optimized kernel-map builders must agree exactly with the
+brute-force binary-search builder."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidiff_tpu.ops import grid as G
+
+
+def _grid(seed, B=2, N=300, res=0.3, cap=700):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0, 1.5, size=(B, N, 3)).astype(np.float32)
+    geom, _, _ = G.quantize(jnp.asarray(pts), res, cap)
+    return geom
+
+
+def _assert_same_map(a: G.KernelMap, b: G.KernelMap):
+    ha, hb = np.asarray(a.hit), np.asarray(b.hit)
+    np.testing.assert_array_equal(ha, hb)
+    ia, ib = np.asarray(a.idx), np.asarray(b.idx)
+    np.testing.assert_array_equal(ia[ha], ib[hb])
+
+
+def test_kmap3_columns_matches_bruteforce():
+    for seed in [0, 1]:
+        geom = _grid(seed)
+        ref = G.build_kernel_map(geom, geom, G.cube_offsets(3, 1))
+        fast = G.build_kmap3_columns(geom)
+        _assert_same_map(fast, ref)
+
+
+def test_kmap3_columns_strided_level():
+    geom = _grid(2)
+    pooled, c2p = G.pool_geom(geom, 700)
+    ref = G.build_kernel_map(pooled, pooled, G.cube_offsets(3, 2))
+    fast = G.build_kmap3_columns(pooled)
+    _assert_same_map(fast, ref)
+
+
+def test_down_kmap_from_pooling_matches_bruteforce():
+    geom = _grid(3)
+    pooled, c2p = G.pool_geom(geom, 700)
+    ref = G.build_kernel_map(geom, pooled, G.cube_offsets(2, 1))
+    fast = G.down_kmap_from_pooling(geom, c2p, pooled.capacity)
+    _assert_same_map(fast, ref)
