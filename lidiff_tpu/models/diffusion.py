@@ -97,6 +97,15 @@ class DiffusionTask:
         return build_pyramid(points, self.resolution, self.part_caps,
                              self.num_levels)
 
+    def pyramid_part_tiny(self, points) -> Pyramid:
+        """Minimal-capacity partial pyramid for the UNCONDITIONED branch:
+        the zeros cloud occupies a single voxel per batch item, so the
+        conditioning bank (and every per-stage 1-NN match against it)
+        shrinks to near-zero cost instead of scanning a full-capacity
+        bank of padding."""
+        tiny = [max(8, points.shape[0] * 2)] * self.num_levels
+        return build_pyramid(points, self.resolution, tiny, self.num_levels)
+
     # ---------------- init ----------------
 
     def init(self, key, batch_size: int = 1, n_full: int = 1024,
@@ -181,7 +190,7 @@ class DiffusionTask:
 
         # conditioning features: computed once, constant across steps
         pyr_c = self.pyramid_part(part)
-        pyr_u = self.pyramid_part(jnp.zeros_like(part))
+        pyr_u = self.pyramid_part_tiny(jnp.zeros_like(part))
         feats_c = self.model.apply(variables, pyr_c, False,
                                    method=DiffusionModel.encode_partial)
         feats_u = self.model.apply(variables, pyr_u, False,

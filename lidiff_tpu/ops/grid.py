@@ -67,6 +67,31 @@ class KernelMap:
     hit: jnp.ndarray    # [V_out, K] bool
 
 
+@struct.dataclass
+class ColumnKernelMap:
+    """27-tap kernel map in column form: voxel keys sort by (b, x, y, z),
+    so a column's three z-targets (z-s, z, z+s) occupy *consecutive* slots
+    starting at the lower bound of z-s. Storing just that base position per
+    (dx, dy) column lets the conv fetch each column as ONE contiguous
+    3-row slab gather instead of three random row gathers.
+
+    Tap order matches `cube_offsets(3, stride)` (x slowest, z fastest);
+    taps col*3 + r correspond to hits m0,m1,m2 whose slab rows are
+    0, m0, m0+m1."""
+
+    col_idx: jnp.ndarray   # [V_out, 9] int32 — slab base positions
+    hit: jnp.ndarray       # [V_out, 27] bool
+
+    @property
+    def idx(self):
+        """Dense [V_out, 27] view (for tests / fallback paths)."""
+        m0 = self.hit[:, 0::3].astype(jnp.int32)
+        m1 = self.hit[:, 1::3].astype(jnp.int32)
+        p = self.col_idx
+        dense = jnp.stack([p, p + m0, p + m0 + m1], axis=2)   # [V, 9, 3]
+        return dense.reshape(p.shape[0], 27)
+
+
 def _scatter_pad(capacity: int, idx, values, fill):
     """Scatter `values` at `idx` into a [capacity] (or [capacity, d]) array,
     dropping entries with idx >= capacity via a sentinel row."""
@@ -253,7 +278,7 @@ def down_kmap_from_pooling(fine: VoxelGeom, child2parent: jnp.ndarray,
     return KernelMap(idx=idx, hit=hit)
 
 
-def build_kmap3_columns(geom: VoxelGeom) -> KernelMap:
+def build_kmap3_columns(geom: VoxelGeom) -> ColumnKernelMap:
     """27-tap kernel map with 9 binary searches per voxel instead of 27.
 
     Keys sort lexicographically by (batch, x, y, z), and all coordinates at
@@ -269,7 +294,7 @@ def build_kmap3_columns(geom: VoxelGeom) -> KernelMap:
     b = geom.coords[:, 0]
     xyz = geom.coords[:, 1:]
 
-    idx_cols = []
+    base_cols = []
     hit_cols = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
@@ -284,12 +309,12 @@ def build_kmap3_columns(geom: VoxelGeom) -> KernelMap:
             m1 = (geom.key_hi[p1] == q_hi) & (geom.key_lo[p1] == q_lo + s)
             p2 = jnp.minimum(p1 + m1.astype(jnp.int32), V - 1)
             m2 = (geom.key_hi[p2] == q_hi) & (geom.key_lo[p2] == q_lo + 2 * s)
-            idx_cols += [p, p1, p2]
+            base_cols.append(p)
             hit_cols += [m0 & geom.mask, m1 & geom.mask, m2 & geom.mask]
 
-    idx = jnp.stack(idx_cols, axis=1)
-    hit = jnp.stack(hit_cols, axis=1)
-    return KernelMap(idx=idx, hit=hit)
+    col_idx = jnp.stack(base_cols, axis=1)                    # [V, 9]
+    hit = jnp.stack(hit_cols, axis=1)                         # [V, 27]
+    return ColumnKernelMap(col_idx=col_idx, hit=hit)
 
 
 def up_maps(fine: VoxelGeom, child2parent: jnp.ndarray):

@@ -20,7 +20,7 @@ _BIG = jnp.float32(1e18)
 
 def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
                  r_coords: jnp.ndarray, r_mask: jnp.ndarray,
-                 block: int = 2048) -> jnp.ndarray:
+                 block: int = 8192) -> jnp.ndarray:
     """For each query voxel, the index of the nearest reference voxel.
 
     Args:
@@ -58,7 +58,7 @@ def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
 
 
 def match_features(q_coords, q_mask, r_coords, r_mask, r_feats,
-                   block: int = 2048) -> jnp.ndarray:
+                   block: int = 8192) -> jnp.ndarray:
     """Gather the nearest reference voxel's features for every query voxel
     (zeros for invalid queries)."""
     idx = nn_match_idx(q_coords, q_mask, r_coords, r_mask, block)

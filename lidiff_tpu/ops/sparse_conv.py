@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 import os
 
-from lidiff_tpu.ops.grid import KernelMap
+from lidiff_tpu.ops.grid import ColumnKernelMap, KernelMap
 
 # Conv GEMM precision policy. HIGHEST keeps f32 matmuls exactly f32 (needed
 # for golden tests vs numpy; the TPU/axon backends default f32 matmuls to
@@ -29,26 +29,88 @@ _PREC_MAP = {
 PRECISION = _PREC_MAP[os.environ.get("LIDIFF_MATMUL_PRECISION",
                                      "highest").lower()]
 
+# Optional low-precision conv compute: gathers and MXU products run in
+# bfloat16 (halved HBM traffic, full-rate MXU) with f32 accumulation, while
+# parameters and the functional interface stay f32.
+COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
+    "LIDIFF_COMPUTE_DTYPE", "float32").lower() in ("bf16", "bfloat16") \
+    else jnp.float32
+
 
 def set_precision(name: str) -> None:
     global PRECISION
     PRECISION = _PREC_MAP[name.lower()]
 
 
-def sparse_conv(feats: jnp.ndarray, kmap: KernelMap, weights: jnp.ndarray,
+def set_compute_dtype(name: str) -> None:
+    global COMPUTE_DTYPE
+    COMPUTE_DTYPE = (jnp.bfloat16 if name.lower() in ("bf16", "bfloat16")
+                     else jnp.float32)
+
+
+def _slab_gather(fpad: jnp.ndarray, base: jnp.ndarray, rows: int):
+    """Gather `rows` consecutive feature rows starting at base[v] for every
+    v: [V_in + rows, C] x [V_out] -> [V_out, rows, C]. Contiguous slabs are
+    far cheaper on TPU than independent row gathers."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    return jax.lax.gather(
+        fpad, base[:, None], dnums,
+        slice_sizes=(rows, fpad.shape[1]),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
+                        weights: jnp.ndarray,
+                        out_mask: jnp.ndarray) -> jnp.ndarray:
+    """27-tap sparse conv over a column kernel map: 9 contiguous slab
+    gathers (one per (dx, dy) column) + per-column [V, 3*Cin] GEMMs.
+
+    Within a slab the z-targets sit at rows 0, m0, m0+m1 (hits m0,m1,m2);
+    a cheap 3-way take_along_axis aligns rows to taps before the GEMM.
+    """
+    Kt, Cin, Cout = weights.shape
+    assert Kt == 27
+    out_dtype = feats.dtype
+    cf = feats.astype(COMPUTE_DTYPE)
+    cw = weights.astype(COMPUTE_DTYPE)
+    fpad = jnp.concatenate(
+        [cf, jnp.zeros((3, Cin), cf.dtype)], axis=0)
+    out = jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
+    for col in range(9):
+        base = kmap.col_idx[:, col]
+        g = _slab_gather(fpad, base, 3)                     # [V, 3, C]
+        hit3 = kmap.hit[:, col * 3:(col + 1) * 3]           # [V, 3]
+        m0 = hit3[:, 0].astype(jnp.int32)
+        m1 = hit3[:, 1].astype(jnp.int32)
+        rows = jnp.stack([jnp.zeros_like(m0), m0, m0 + m1], axis=1)
+        g = jnp.take_along_axis(g, rows[:, :, None], axis=1)
+        g = jnp.where(hit3[:, :, None], g, 0)
+        w3 = cw[col * 3:(col + 1) * 3].reshape(3 * Cin, Cout)
+        out = out + jnp.dot(g.reshape(-1, 3 * Cin), w3,
+                            preferred_element_type=out_dtype,
+                            precision=PRECISION)
+    return jnp.where(out_mask[:, None], out, 0)
+
+
+def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                 out_mask: jnp.ndarray, *, fused: bool = False) -> jnp.ndarray:
     """Sparse convolution.
 
     Args:
       feats: [V_in, Cin] input voxel features (padding rows must be zero or
         will be masked by `kmap.hit`).
-      kmap: gather map [V_out, K].
+      kmap: gather map [V_out, K] (KernelMap) or a ColumnKernelMap for
+        27-tap convs (slab-gather fast path).
       weights: [K, Cin, Cout] per-tap weights.
       out_mask: [V_out] validity of output voxels.
       fused: if True, materialize the [V_out, K*Cin] gathered matrix and run
         a single large GEMM (better MXU utilization, more memory); otherwise
         accumulate K small GEMMs.
     """
+    if isinstance(kmap, ColumnKernelMap):
+        return sparse_conv_columns(feats, kmap, weights, out_mask)
     Kt, Cin, Cout = weights.shape
     if fused:
         g = feats[kmap.idx]                              # [V, K, Cin]
@@ -99,11 +161,21 @@ def masked_moments(feats: jnp.ndarray, mask: jnp.ndarray,
                    axis_name: str | None = None):
     """Per-channel mean/variance over valid voxels; with `axis_name`, the
     moments are reduced across the device mesh axis — the TPU-native
-    equivalent of MinkowskiSyncBatchNorm (reference train.py:90)."""
-    m = mask.astype(feats.dtype)[:, None]
-    cnt = jnp.sum(m)
-    s1 = jnp.sum(feats * m, axis=0)
-    s2 = jnp.sum((feats * feats) * m, axis=0)
+    equivalent of MinkowskiSyncBatchNorm (reference train.py:90).
+
+    The row reduction rides the MXU as a [1,V]x[V,2C] GEMV (much faster on
+    TPU than a sublane-strided sum over 100k+ rows)."""
+    mv = mask.astype(feats.dtype)
+    fm = feats * mv[:, None]
+    cat = jnp.concatenate([fm, fm * feats], axis=1)        # [V, 2C]
+    # statistics stay exactly f32 regardless of the conv precision policy
+    sums = jnp.dot(mv[None, :], cat,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)[0]
+    C = feats.shape[-1]
+    cnt = jnp.sum(mv)
+    s1 = sums[:C]
+    s2 = sums[C:]
     if axis_name is not None:
         cnt = jax.lax.psum(cnt, axis_name)
         s1 = jax.lax.psum(s1, axis_name)

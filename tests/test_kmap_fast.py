@@ -37,6 +37,23 @@ def test_kmap3_columns_strided_level():
     _assert_same_map(fast, ref)
 
 
+def test_sparse_conv_columns_matches_dense():
+    from lidiff_tpu.ops.sparse_conv import sparse_conv
+    rng = np.random.default_rng(4)
+    geom = _grid(4)
+    ref_map = G.build_kernel_map(geom, geom, G.cube_offsets(3, 1))
+    col_map = G.build_kmap3_columns(geom)
+    C = 8
+    feats = jnp.asarray(
+        rng.normal(0, 1, (geom.capacity, C)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(geom.mask)[:, None], feats, 0)
+    w = jnp.asarray(rng.normal(0, 0.2, (27, C, 5)).astype(np.float32))
+    ref = sparse_conv(feats, ref_map, w, geom.mask)
+    fast = sparse_conv(feats, col_map, w, geom.mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_down_kmap_from_pooling_matches_bruteforce():
     geom = _grid(3)
     pooled, c2p = G.pool_geom(geom, 700)
