@@ -48,49 +48,37 @@ def set_compute_dtype(name: str) -> None:
                      else jnp.float32)
 
 
-def _slab_gather(fpad: jnp.ndarray, base: jnp.ndarray, rows: int):
-    """Gather `rows` consecutive feature rows starting at base[v] for every
-    v: [V_in + rows, C] x [V_out] -> [V_out, rows, C]. Contiguous slabs are
-    far cheaper on TPU than independent row gathers."""
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
-        start_index_map=(0,))
-    return jax.lax.gather(
-        fpad, base[:, None], dnums,
-        slice_sizes=(rows, fpad.shape[1]),
-        mode=jax.lax.GatherScatterMode.CLIP)
-
-
 def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                         weights: jnp.ndarray,
                         out_mask: jnp.ndarray) -> jnp.ndarray:
-    """27-tap sparse conv over a column kernel map: 9 contiguous slab
-    gathers (one per (dx, dy) column) + per-column [V, 3*Cin] GEMMs.
+    """27-tap sparse conv over a column kernel map.
 
-    Within a slab the z-targets sit at rows 0, m0, m0+m1 (hits m0,m1,m2);
-    a cheap 3-way take_along_axis aligns rows to taps before the GEMM.
+    The column map is cheap to BUILD (9 binary searches instead of 27);
+    for the conv itself, plain per-tap row gathers are what XLA:TPU lowers
+    efficiently (measured: a multi-row slice gather lowers to a scalar loop
+    and is ~150x slower), so the dense per-tap indices are reconstructed
+    arithmetically (rows p, p+m0, p+m0+m1) and the conv accumulates 27
+    gather+GEMM pairs in the compute dtype.
     """
     Kt, Cin, Cout = weights.shape
     assert Kt == 27
     out_dtype = feats.dtype
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
-    fpad = jnp.concatenate(
-        [cf, jnp.zeros((3, Cin), cf.dtype)], axis=0)
     out = jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
     for col in range(9):
         base = kmap.col_idx[:, col]
-        g = _slab_gather(fpad, base, 3)                     # [V, 3, C]
-        hit3 = kmap.hit[:, col * 3:(col + 1) * 3]           # [V, 3]
+        hit3 = kmap.hit[:, col * 3:(col + 1) * 3]
         m0 = hit3[:, 0].astype(jnp.int32)
         m1 = hit3[:, 1].astype(jnp.int32)
-        rows = jnp.stack([jnp.zeros_like(m0), m0, m0 + m1], axis=1)
-        g = jnp.take_along_axis(g, rows[:, :, None], axis=1)
-        g = jnp.where(hit3[:, :, None], g, 0)
-        w3 = cw[col * 3:(col + 1) * 3].reshape(3 * Cin, Cout)
-        out = out + jnp.dot(g.reshape(-1, 3 * Cin), w3,
-                            preferred_element_type=out_dtype,
-                            precision=PRECISION)
+        rows = (base, base + m0, base + m0 + m1)
+        for r in range(3):
+            tap = col * 3 + r
+            g = cf[jnp.minimum(rows[r], cf.shape[0] - 1)]
+            g = jnp.where(hit3[:, r, None], g, 0)
+            out = out + jnp.dot(g, cw[tap],
+                                preferred_element_type=out_dtype,
+                                precision=PRECISION)
     return jnp.where(out_mask[:, None], out, 0)
 
 
