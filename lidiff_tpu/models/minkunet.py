@@ -64,18 +64,20 @@ class MinkGlobalEnc(nn.Module):
 class _StageGate(nn.Module):
     """Per-voxel conditioning gate: w = latemp(cat(latent(match), temp(t)))
     (ref minkunet.py:424-429 and analogous blocks). `swap` reproduces the
-    up1 quirk where the concat order is (t, p) (ref :461)."""
+    up1 quirk where the concat order is (t, p) (ref :461).
+
+    Takes the 1-NN-matched partial feature `match` precomputed per level:
+    down and up stages at the same level share the same coordinate set, so
+    the denoiser needs only 5 distinct matches, not 8 (the reference
+    recomputes per stage, minkunet.py:424-491)."""
     gate_out: int
     latemp_hidden: int
     swap: bool = False
 
     @nn.compact
-    def __call__(self, feats, geom: VoxelGeom, part_feats, part_geom,
-                 temp_emb):
-        c4 = part_feats.shape[-1]
-        m = match_features(geom.coords, geom.mask, part_geom.coords,
-                           part_geom.mask, part_feats)
-        p = MLP(c4, c4, name="latent")(m)
+    def __call__(self, feats, geom: VoxelGeom, match, temp_emb):
+        c4 = match.shape[-1]
+        p = MLP(c4, c4, name="latent")(match)
         t = MLP(temp_emb.shape[-1], c4, name="temp")(temp_emb)
         t_vox = t[geom.coords[:, 0]]                     # batch-id gather
         pt = jnp.concatenate([t_vox, p] if self.swap else [p, t_vox],
@@ -97,6 +99,12 @@ class MinkUNetDiff(nn.Module):
         lv = pyr.levels
         temp = timestep_embedding(t, self.out_dim)
 
+        # one 1-NN conditioning match per level, shared by the down and up
+        # stages that live on that level's coordinate set
+        match = [match_features(l.geom.coords, l.geom.mask,
+                                part_geom.coords, part_geom.mask,
+                                part_feats) for l in lv]
+
         # (gate_out, latemp_hidden) per stage; hidden widths follow the
         # reference latemp_* layer plans (minkunet.py:171-175, 299-303,
         # 327-331, 355-359)
@@ -104,30 +112,30 @@ class MinkUNetDiff(nn.Module):
             return _StageGate(out, hidden, swap, name=name)
 
         x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
-        g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, part_feats,
-                                                part_geom, temp)
+        g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, match[0],
+                                                temp)
         x1 = DownStage(cs[0], cs[1], self.axis_name)(g0, lv[0], lv[1], train)
-        g1 = gate(cs[1], cs[4], name="gate_s2")(x1, lv[1].geom, part_feats,
-                                                part_geom, temp)
+        g1 = gate(cs[1], cs[4], name="gate_s2")(x1, lv[1].geom, match[1],
+                                                temp)
         x2 = DownStage(cs[1], cs[2], self.axis_name)(g1, lv[1], lv[2], train)
-        g2 = gate(cs[2], cs[4], name="gate_s3")(x2, lv[2].geom, part_feats,
-                                                part_geom, temp)
+        g2 = gate(cs[2], cs[4], name="gate_s3")(x2, lv[2].geom, match[2],
+                                                temp)
         x3 = DownStage(cs[2], cs[3], self.axis_name)(g2, lv[2], lv[3], train)
-        g3 = gate(cs[3], cs[4], name="gate_s4")(x3, lv[3].geom, part_feats,
-                                                part_geom, temp)
+        g3 = gate(cs[3], cs[4], name="gate_s4")(x3, lv[3].geom, match[3],
+                                                temp)
         x4 = DownStage(cs[3], cs[4], self.axis_name)(g3, lv[3], lv[4], train)
 
         g4 = gate(cs[4], cs[4], swap=True, name="gate_u1")(
-            x4, lv[4].geom, part_feats, part_geom, temp)
+            x4, lv[4].geom, match[4], temp)
         y1 = UpStage(cs[5], self.axis_name)(g4, x3, lv[3], train)
-        g5 = gate(cs[5], cs[5], name="gate_u2")(y1, lv[3].geom, part_feats,
-                                                part_geom, temp)
+        g5 = gate(cs[5], cs[5], name="gate_u2")(y1, lv[3].geom, match[3],
+                                                temp)
         y2 = UpStage(cs[6], self.axis_name)(g5, x2, lv[2], train)
-        g6 = gate(cs[6], cs[6], name="gate_u3")(y2, lv[2].geom, part_feats,
-                                                part_geom, temp)
+        g6 = gate(cs[6], cs[6], name="gate_u3")(y2, lv[2].geom, match[2],
+                                                temp)
         y3 = UpStage(cs[7], self.axis_name)(g6, x1, lv[1], train)
-        g7 = gate(cs[7], cs[7], name="gate_u4")(y3, lv[1].geom, part_feats,
-                                                part_geom, temp)
+        g7 = gate(cs[7], cs[7], name="gate_u4")(y3, lv[1].geom, match[1],
+                                                temp)
         y4 = UpStage(cs[8], self.axis_name)(g7, x0, lv[0], train)
 
         # per-point head after TensorField slice-back (ref :376-380, :497)
