@@ -139,16 +139,19 @@ class ResidualBlock(nn.Module):
 
 class MLP(nn.Module):
     """Linear -> LeakyReLU(0.1) -> Linear, the gate/head pattern used
-    throughout MinkUNetDiff (minkunet.py:165-181 etc.)."""
+    throughout MinkUNetDiff (minkunet.py:165-181 etc.). GEMMs run in the
+    global compute dtype (bf16 fast path), params and output stay f32."""
     hidden: int
     out: int
     negative_slope: float = 0.1
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        from lidiff_tpu.ops import sparse_conv as sc
+        dt = sc.COMPUTE_DTYPE
+        x = nn.Dense(self.hidden, dtype=dt)(x.astype(dt))
         x = nn.leaky_relu(x, self.negative_slope)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=dt)(x).astype(jnp.float32)
 
 
 class DownStage(nn.Module):

@@ -60,7 +60,9 @@ def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
 def match_features(q_coords, q_mask, r_coords, r_mask, r_feats,
                    block: int = 8192) -> jnp.ndarray:
     """Gather the nearest reference voxel's features for every query voxel
-    (zeros for invalid queries)."""
+    (zeros for invalid queries). The wide (256-ch) gather runs in the
+    global compute dtype to halve HBM traffic on the fast path."""
+    from lidiff_tpu.ops import sparse_conv as sc
     idx = nn_match_idx(q_coords, q_mask, r_coords, r_mask, block)
-    out = r_feats[idx]
+    out = r_feats.astype(sc.COMPUTE_DTYPE)[idx].astype(r_feats.dtype)
     return jnp.where(q_mask[:, None], out, 0)

@@ -100,20 +100,23 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
     if isinstance(kmap, ColumnKernelMap):
         return sparse_conv_columns(feats, kmap, weights, out_mask)
     Kt, Cin, Cout = weights.shape
+    out_dtype = feats.dtype
+    cf = feats.astype(COMPUTE_DTYPE)
+    cw = weights.astype(COMPUTE_DTYPE)
     if fused:
-        g = feats[kmap.idx]                              # [V, K, Cin]
+        g = cf[kmap.idx]                                 # [V, K, Cin]
         g = jnp.where(kmap.hit[..., None], g, 0)
         out = jnp.dot(g.reshape(g.shape[0], Kt * Cin),
-                      weights.reshape(Kt * Cin, Cout),
-                      preferred_element_type=feats.dtype,
+                      cw.reshape(Kt * Cin, Cout),
+                      preferred_element_type=out_dtype,
                       precision=PRECISION)
     else:
-        out = jnp.zeros((kmap.idx.shape[0], Cout), feats.dtype)
+        out = jnp.zeros((kmap.idx.shape[0], Cout), out_dtype)
         for k in range(Kt):
-            g = feats[kmap.idx[:, k]]
+            g = cf[kmap.idx[:, k]]
             g = jnp.where(kmap.hit[:, k, None], g, 0)
-            out = out + jnp.dot(g, weights[k],
-                                preferred_element_type=feats.dtype,
+            out = out + jnp.dot(g, cw[k],
+                                preferred_element_type=out_dtype,
                                 precision=PRECISION)
     return jnp.where(out_mask[:, None], out, 0)
 
@@ -133,14 +136,17 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     """
     Kt, Cin, Cout = weights.shape
     Vc = coarse_feats.shape[0]
+    out_dtype = coarse_feats.dtype
+    cf = coarse_feats.astype(COMPUTE_DTYPE)
+    cw = weights.astype(COMPUTE_DTYPE)
     ok = (parent_idx < Vc) & fine_mask
-    g = coarse_feats[jnp.minimum(parent_idx, Vc - 1)]
+    g = cf[jnp.minimum(parent_idx, Vc - 1)]
     g = jnp.where(ok[:, None], g, 0)
-    out = jnp.zeros((g.shape[0], Cout), coarse_feats.dtype)
+    out = jnp.zeros((g.shape[0], Cout), out_dtype)
     for k in range(Kt):
         sel = (tap == k) & ok
-        out = out + jnp.dot(jnp.where(sel[:, None], g, 0), weights[k],
-                            preferred_element_type=coarse_feats.dtype,
+        out = out + jnp.dot(jnp.where(sel[:, None], g, 0), cw[k],
+                            preferred_element_type=out_dtype,
                             precision=PRECISION)
     return jnp.where(fine_mask[:, None], out, 0)
 

@@ -94,6 +94,24 @@ def test_sample_loop_runs(task, variables):
     assert float(jnp.abs(out - x_init).max()) < 50.0
 
 
+def test_bf16_compute_path_close_to_f32(task, variables):
+    from lidiff_tpu.ops import sparse_conv as sc
+    batch = _batch(7)
+    pyr_f = task.pyramid_full(batch["pcd_full"])
+    pyr_p = task.pyramid_part(batch["pcd_part"])
+    t = jnp.zeros((B,), jnp.int32)
+    ref = np.asarray(task.model.apply(variables, pyr_f, pyr_p, t, False))
+    sc.set_compute_dtype("bfloat16")
+    try:
+        low = np.asarray(task.model.apply(variables, pyr_f, pyr_p, t, False))
+    finally:
+        sc.set_compute_dtype("float32")
+    assert np.isfinite(low).all()
+    # random-weight outputs are O(1); bf16 path must track f32 loosely
+    err = np.abs(low - ref).mean() / (np.abs(ref).mean() + 1e-6)
+    assert err < 0.15, err
+
+
 def test_refine_task():
     cfg = dict(CFG)
     task = RefineTask(finalize_config(cfg))
