@@ -65,20 +65,36 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     out_dtype = feats.dtype
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
+
+    # TPU gathers are row-RATE-bound, not byte-bound (measured: C=32 and
+    # C=96 row gathers cost the same). Build a 3-row windowed view once
+    # (sequential writes at full HBM bandwidth), then each column needs ONE
+    # [V] row-gather of the 3C-wide window instead of three C-wide gathers:
+    # 9 gathers per conv instead of 27.
+    fpad = jnp.concatenate([cf, jnp.zeros((2, Cin), cf.dtype)], 0)
+    wnd = jnp.concatenate([fpad[:-2], fpad[1:-1], fpad[2:]], 1)  # [V, 3C]
+
     out = jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
     for col in range(9):
-        base = kmap.col_idx[:, col]
+        base = jnp.minimum(kmap.col_idx[:, col], wnd.shape[0] - 1)
         hit3 = kmap.hit[:, col * 3:(col + 1) * 3]
-        m0 = hit3[:, 0].astype(jnp.int32)
-        m1 = hit3[:, 1].astype(jnp.int32)
-        rows = (base, base + m0, base + m0 + m1)
-        for r in range(3):
-            tap = col * 3 + r
-            g = cf[jnp.minimum(rows[r], cf.shape[0] - 1)]
-            g = jnp.where(hit3[:, r, None], g, 0)
-            out = out + jnp.dot(g, cw[tap],
-                                preferred_element_type=out_dtype,
-                                precision=PRECISION)
+        g3 = wnd[base]                                     # [V, 3C]
+        s0 = g3[:, :Cin]
+        s1 = g3[:, Cin:2 * Cin]
+        s2 = g3[:, 2 * Cin:]
+        m0 = hit3[:, 0:1]
+        m1 = hit3[:, 1:2]
+        m2 = hit3[:, 2:3]
+        # window rows of the three z-taps: 0, m0, m0+m1
+        g_zm1 = jnp.where(m0, s0, 0)
+        g_z0 = jnp.where(m1, jnp.where(m0, s1, s0), 0)
+        r2 = m0.astype(jnp.int32) + m1.astype(jnp.int32)
+        g_zp1 = jnp.where(m2, jnp.where(r2 == 2, s2,
+                                        jnp.where(r2 == 1, s1, s0)), 0)
+        g = jnp.concatenate([g_zm1, g_z0, g_zp1], axis=1)  # [V, 3C]
+        w3 = cw[col * 3:(col + 1) * 3].reshape(3 * Cin, Cout)
+        out = out + jnp.dot(g, w3, preferred_element_type=out_dtype,
+                            precision=PRECISION)
     return jnp.where(out_mask[:, None], out, 0)
 
 
