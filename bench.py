@@ -75,8 +75,17 @@ def main():
     variables = task.init(jax.random.PRNGKey(0), batch_size=1,
                           n_full=2048, n_part=256)
 
-    sample = jax.jit(lambda v, xi, p, k: task.sample(
-        v, xi, k, solver=solver, part=p))
+    # chunked sampler: bounds single device-call duration (the tunneled
+    # backend kills very long executions) at negligible dispatch cost
+    chunk = int(os.environ.get("BENCH_CHUNK", 5))
+    prepare, run_chunk, finish, n_steps = task.make_chunked_sampler(
+        solver=solver, chunk=chunk)
+
+    def sample(v, xi, p, k):
+        ctx = prepare(v, xi, p, k)
+        for i0 in range(0, n_steps, chunk):
+            ctx = run_chunk(v, ctx, jnp.int32(i0))
+        return finish(ctx)
 
     xi = jnp.asarray(x_init)
     pp = jnp.asarray(part)

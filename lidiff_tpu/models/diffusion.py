@@ -220,3 +220,88 @@ class DiffusionTask:
         (state, _), _ = jax.lax.scan(body, (init_state(offset0), k_loop),
                                      jnp.arange(solver.num_steps))
         return x_init + state.sample
+
+    def make_chunked_sampler(self, w_uncond: float | None = None,
+                             solver: DPMSolver | None = None,
+                             chunk: int = 10):
+        """Like `sample`, but the solver loop is split into device calls of
+        `chunk` steps each (one compilation serves every chunk). Long
+        single executions can trip infrastructure watchdogs on tunneled
+        TPU backends; chunking bounds device-call duration at negligible
+        dispatch cost.
+
+        Returns (prepare, run_chunk, finish):
+          ctx = prepare(variables, x_init, part, key)
+          for i in range(0, solver.num_steps, chunk): ctx = run_chunk(ctx, i)
+          points = finish(ctx)
+        and a convenience `sample_chunked` driver below.
+        """
+        solver = solver or self.solver
+        w = self.w_uncond if w_uncond is None else w_uncond
+
+        @jax.jit
+        def prepare(variables, x_init, part, key):
+            pyr_c = self.pyramid_part(part)
+            pyr_u = self.pyramid_part_tiny(jnp.zeros_like(part))
+            feats_c = self.model.apply(variables, pyr_c, False,
+                                       method=DiffusionModel.encode_partial)
+            feats_u = self.model.apply(variables, pyr_u, False,
+                                       method=DiffusionModel.encode_partial)
+            k0, k_loop = jax.random.split(key)
+            offset0 = jax.random.normal(k0, x_init.shape, x_init.dtype)
+            return dict(state=init_state(offset0), key=k_loop,
+                        feats_c=feats_c, geom_c=pyr_c.levels[-1].geom,
+                        feats_u=feats_u, geom_u=pyr_u.levels[-1].geom,
+                        x_init=x_init)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run_chunk(variables, ctx, i0):
+            def body(carry, j):
+                state, k = carry
+                k, k1 = jax.random.split(k)
+                i = i0 + j
+                t = solver.timesteps[jnp.minimum(i, solver.num_steps - 1)]
+                live = i < solver.num_steps
+                points = ctx["x_init"] + state.sample
+                tvec = jnp.full((points.shape[0],), t, jnp.int32)
+                pyr = self.pyramid_full(points)
+                eps_c = self.model.apply(
+                    variables, pyr, ctx["feats_c"], ctx["geom_c"], tvec,
+                    False, method=DiffusionModel.denoise)
+                eps_u = self.model.apply(
+                    variables, pyr, ctx["feats_u"], ctx["geom_u"], tvec,
+                    False, method=DiffusionModel.denoise)
+                eps = eps_u + w * (eps_c - eps_u)
+                z = jax.random.normal(k1, state.sample.shape,
+                                      state.sample.dtype)
+                new = solver_step(solver, state, eps, z)
+                state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(live, b, a), state, new)
+                return (state, k), None
+
+            (state, k), _ = jax.lax.scan(body, (ctx["state"], ctx["key"]),
+                                         jnp.arange(chunk))
+            return {**ctx, "state": state, "key": k}
+
+        def finish(ctx):
+            return ctx["x_init"] + ctx["state"].sample
+
+        return prepare, run_chunk, finish, solver.num_steps
+
+    def sample_chunked(self, variables, x_init, key, part,
+                       w_uncond: float | None = None,
+                       solver: DPMSolver | None = None, chunk: int = 10):
+        """Convenience driver; caches the compiled sampler per
+        (w, chunk, steps) so repeated calls reuse one compilation."""
+        cache_key = (w_uncond, chunk,
+                     int((solver or self.solver).num_steps))
+        if not hasattr(self, "_chunk_cache"):
+            self._chunk_cache = {}
+        if cache_key not in self._chunk_cache:
+            self._chunk_cache[cache_key] = self.make_chunked_sampler(
+                w_uncond, solver, chunk)
+        prepare, run_chunk, finish, n_steps = self._chunk_cache[cache_key]
+        ctx = prepare(variables, x_init, part, key)
+        for i0 in range(0, n_steps, chunk):
+            ctx = run_chunk(variables, ctx, jnp.int32(i0))
+        return finish(ctx)

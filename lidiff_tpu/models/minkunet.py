@@ -44,20 +44,39 @@ def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     return emb
 
 
+def _maybe_remat(cls, enable: bool):
+    """Rematerialize a block in backward passes: conv activations are
+    gather-heavy and dominate training memory at 180k-point scale; the
+    recompute is cheap relative to HBM (jax.checkpoint via nn.remat)."""
+    if not enable:
+        return cls
+    # flax nn.remat static_argnums counts `self` as arg 0: `train` is arg 4
+    # for DownStage/UpStage(feats/coarse, ..., train) and arg 3 for Stem
+    return nn.remat(cls, static_argnums=(4,) if cls in (DownStage, UpStage)
+                    else (3,))
+
+
 class MinkGlobalEnc(nn.Module):
     """Partial-scan encoder -> stage-4 conditioning features."""
     cr: float = 1.0
     axis_name: Optional[str] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, pyr: Pyramid, train: bool = False):
         cs = [int(self.cr * c) for c in CS]
         lv = pyr.levels
-        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
-        x1 = DownStage(cs[0], cs[1], self.axis_name)(x0, lv[0], lv[1], train)
-        x2 = DownStage(cs[1], cs[2], self.axis_name)(x1, lv[1], lv[2], train)
-        x3 = DownStage(cs[2], cs[3], self.axis_name)(x2, lv[2], lv[3], train)
-        x4 = DownStage(cs[3], cs[4], self.axis_name)(x3, lv[3], lv[4], train)
+        Down = _maybe_remat(DownStage, self.remat and train)
+        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
+            pyr.vox_feats, lv[0], train)
+        x1 = Down(cs[0], cs[1], self.axis_name, name="DownStage_0")(
+            x0, lv[0], lv[1], train)
+        x2 = Down(cs[1], cs[2], self.axis_name, name="DownStage_1")(
+            x1, lv[1], lv[2], train)
+        x3 = Down(cs[2], cs[3], self.axis_name, name="DownStage_2")(
+            x2, lv[2], lv[3], train)
+        x4 = Down(cs[3], cs[4], self.axis_name, name="DownStage_3")(
+            x3, lv[3], lv[4], train)
         return x4          # [V4, 256] at stride 16
 
 
@@ -91,12 +110,16 @@ class MinkUNetDiff(nn.Module):
     out_dim: int = 96          # timestep-embedding width (ref models.py:76)
     cr: float = 1.0
     axis_name: Optional[str] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, pyr: Pyramid, part_feats, part_geom: VoxelGeom,
                  t: jnp.ndarray, train: bool = False):
         cs = [int(self.cr * c) for c in CS]
         lv = pyr.levels
+        DownStage = _maybe_remat(globals()["DownStage"],
+                                 self.remat and train)
+        UpStage = _maybe_remat(globals()["UpStage"], self.remat and train)
         temp = timestep_embedding(t, self.out_dim)
 
         # one 1-NN conditioning match per level, shared by the down and up
@@ -111,32 +134,41 @@ class MinkUNetDiff(nn.Module):
         def gate(out, hidden, swap=False, name=None):
             return _StageGate(out, hidden, swap, name=name)
 
-        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
+        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
+            pyr.vox_feats, lv[0], train)
         g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, match[0],
                                                 temp)
-        x1 = DownStage(cs[0], cs[1], self.axis_name)(g0, lv[0], lv[1], train)
+        x1 = DownStage(cs[0], cs[1], self.axis_name, name="DownStage_0")(
+            g0, lv[0], lv[1], train)
         g1 = gate(cs[1], cs[4], name="gate_s2")(x1, lv[1].geom, match[1],
                                                 temp)
-        x2 = DownStage(cs[1], cs[2], self.axis_name)(g1, lv[1], lv[2], train)
+        x2 = DownStage(cs[1], cs[2], self.axis_name, name="DownStage_1")(
+            g1, lv[1], lv[2], train)
         g2 = gate(cs[2], cs[4], name="gate_s3")(x2, lv[2].geom, match[2],
                                                 temp)
-        x3 = DownStage(cs[2], cs[3], self.axis_name)(g2, lv[2], lv[3], train)
+        x3 = DownStage(cs[2], cs[3], self.axis_name, name="DownStage_2")(
+            g2, lv[2], lv[3], train)
         g3 = gate(cs[3], cs[4], name="gate_s4")(x3, lv[3].geom, match[3],
                                                 temp)
-        x4 = DownStage(cs[3], cs[4], self.axis_name)(g3, lv[3], lv[4], train)
+        x4 = DownStage(cs[3], cs[4], self.axis_name, name="DownStage_3")(
+            g3, lv[3], lv[4], train)
 
         g4 = gate(cs[4], cs[4], swap=True, name="gate_u1")(
             x4, lv[4].geom, match[4], temp)
-        y1 = UpStage(cs[5], self.axis_name)(g4, x3, lv[3], train)
+        y1 = UpStage(cs[5], self.axis_name, name="UpStage_0")(
+            g4, x3, lv[3], train)
         g5 = gate(cs[5], cs[5], name="gate_u2")(y1, lv[3].geom, match[3],
                                                 temp)
-        y2 = UpStage(cs[6], self.axis_name)(g5, x2, lv[2], train)
+        y2 = UpStage(cs[6], self.axis_name, name="UpStage_1")(
+            g5, x2, lv[2], train)
         g6 = gate(cs[6], cs[6], name="gate_u3")(y2, lv[2].geom, match[2],
                                                 temp)
-        y3 = UpStage(cs[7], self.axis_name)(g6, x1, lv[1], train)
+        y3 = UpStage(cs[7], self.axis_name, name="UpStage_2")(
+            g6, x1, lv[1], train)
         g7 = gate(cs[7], cs[7], name="gate_u4")(y3, lv[1].geom, match[1],
                                                 temp)
-        y4 = UpStage(cs[8], self.axis_name)(g7, x0, lv[0], train)
+        y4 = UpStage(cs[8], self.axis_name, name="UpStage_3")(
+            g7, x0, lv[0], train)
 
         # per-point head after TensorField slice-back (ref :376-380, :497)
         pt_feats = slice_to_points(y4, pyr.point2voxel)
@@ -150,20 +182,33 @@ class MinkUNet(nn.Module):
     out_channels: int = 18
     cr: float = 1.0
     axis_name: Optional[str] = None
+    remat: bool = True
 
     @nn.compact
     def __call__(self, pyr: Pyramid, train: bool = False):
         cs = [int(self.cr * c) for c in CS]
         lv = pyr.levels
-        x0 = Stem(cs[0], self.axis_name)(pyr.vox_feats, lv[0], train)
-        x1 = DownStage(cs[0], cs[1], self.axis_name)(x0, lv[0], lv[1], train)
-        x2 = DownStage(cs[1], cs[2], self.axis_name)(x1, lv[1], lv[2], train)
-        x3 = DownStage(cs[2], cs[3], self.axis_name)(x2, lv[2], lv[3], train)
-        x4 = DownStage(cs[3], cs[4], self.axis_name)(x3, lv[3], lv[4], train)
-        y1 = UpStage(cs[5], self.axis_name)(x4, x3, lv[3], train)
-        y2 = UpStage(cs[6], self.axis_name)(y1, x2, lv[2], train)
-        y3 = UpStage(cs[7], self.axis_name)(y2, x1, lv[1], train)
-        y4 = UpStage(cs[8], self.axis_name)(y3, x0, lv[0], train)
+        DownStage = _maybe_remat(globals()["DownStage"],
+                                 self.remat and train)
+        UpStage = _maybe_remat(globals()["UpStage"], self.remat and train)
+        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
+            pyr.vox_feats, lv[0], train)
+        x1 = DownStage(cs[0], cs[1], self.axis_name, name="DownStage_0")(
+            x0, lv[0], lv[1], train)
+        x2 = DownStage(cs[1], cs[2], self.axis_name, name="DownStage_1")(
+            x1, lv[1], lv[2], train)
+        x3 = DownStage(cs[2], cs[3], self.axis_name, name="DownStage_2")(
+            x2, lv[2], lv[3], train)
+        x4 = DownStage(cs[3], cs[4], self.axis_name, name="DownStage_3")(
+            x3, lv[3], lv[4], train)
+        y1 = UpStage(cs[5], self.axis_name, name="UpStage_0")(
+            x4, x3, lv[3], train)
+        y2 = UpStage(cs[6], self.axis_name, name="UpStage_1")(
+            y1, x2, lv[2], train)
+        y3 = UpStage(cs[7], self.axis_name, name="UpStage_2")(
+            y2, x1, lv[1], train)
+        y4 = UpStage(cs[8], self.axis_name, name="UpStage_3")(
+            y3, x0, lv[0], train)
         pt_feats = slice_to_points(y4, pyr.point2voxel)
         out = MLP(20, self.out_channels, name="head")(pt_feats)
         return jnp.tanh(out)

@@ -88,10 +88,13 @@ class DiffCompletion:
         self.max_range = float(self.cfg["data"]["max_range"])
         self.key = jax.random.PRNGKey(seed)
 
-        self._sample_jit = jax.jit(
-            lambda v, x_init, part, key: self.task.sample(
-                v, x_init, key, w_uncond=float(cond_weight),
-                solver=self.solver, part=part))
+        # chunked sampler: one compilation reused for every scan; bounded
+        # device-call durations (tunneled backends kill long executions)
+        self._chunk = int(os.environ.get("LIDIFF_SAMPLE_CHUNK", 10))
+        self._sample_jit = (
+            lambda v, x_init, part, key: self.task.sample_chunked(
+                v, x_init, key, part=part, w_uncond=float(cond_weight),
+                solver=self.solver, chunk=self._chunk))
         if self.refine_task is not None:
             self._refine_jit = jax.jit(
                 lambda v, pts: self.refine_task.forward(v, pts))

@@ -94,6 +94,21 @@ def test_sample_loop_runs(task, variables):
     assert float(jnp.abs(out - x_init).max()) < 50.0
 
 
+def test_chunked_sampler_matches_scan(task, variables):
+    """Chunked sampling must reproduce the single-scan loop exactly (same
+    RNG split sequence), for chunk sizes that divide and exceed s_steps."""
+    rng = np.random.default_rng(11)
+    part = jnp.asarray(rng.normal(0, 3, (1, NP, 3)).astype(np.float32))
+    x_init = jnp.tile(part, (1, NF // NP, 1))
+    key = jax.random.PRNGKey(5)
+    ref = np.asarray(task.sample(variables, x_init, key, part=part))
+    for chunk in [1, 2, 8]:
+        out = np.asarray(task.sample_chunked(variables, x_init, key,
+                                             part=part, chunk=chunk))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk={chunk}")
+
+
 def test_bf16_compute_path_close_to_f32(task, variables):
     from lidiff_tpu.ops import sparse_conv as sc
     batch = _batch(7)
