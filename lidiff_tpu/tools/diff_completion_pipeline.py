@@ -183,9 +183,8 @@ def main(diff, refine, denoising_steps, cond_weight, path, out, max_scans):
 
     os.makedirs(f"{out}/{exp}/refine", exist_ok=True)
     os.makedirs(f"{out}/{exp}/diff", exist_ok=True)
-    with open(f"{out}/{exp}/exp_config.yaml", "w") as f:
-        json.dump({k: v for k, v in dc.cfg.items()}, f, indent=2,
-                  default=str)
+    from lidiff_tpu.config import save_config
+    save_config(dc.cfg, f"{out}/{exp}/exp_config.yaml")
 
     files = [f for f in natsorted(os.listdir(path))
              if f.endswith((".bin", ".ply", ".npy"))]

@@ -71,6 +71,8 @@ def main(config, weights, checkpoint, test, max_steps):
         return
 
     print(f"TRAINING MODE ({n_dev} devices)")
+    latest = {"state": state}
+    trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
     for epoch in range(int(cfg["train"]["max_epoch"])):
         for batch in loader:
@@ -79,6 +81,7 @@ def main(config, weights, checkpoint, test, max_steps):
                      if k2 != "filename"}
             t0 = time.time()
             state, metrics = trainer.train_step(state, batch, k)
+            latest["state"] = state
             step += 1
             if step % 10 == 0:
                 m = {f"train/{k2}": float(v) for k2, v in metrics.items()}
