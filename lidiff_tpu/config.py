@@ -35,25 +35,34 @@ def _round8(x: int) -> int:
     return max(8, (int(x) + 7) // 8 * 8)
 
 
-def derive_capacities(num_points: int, shrink: float = 2.0,
-                      num_levels: int = 5) -> list[int]:
-    """Static voxel capacities per pyramid level.
+# Measured per-level occupancy (unique voxels / num_points), worst case over
+# the 50-step sampling trajectory on the reference demo scan
+# (scripts/measure_occupancy.py; /root/reference/lidiff/Datasets/test/
+# 000123.ply, crop+FPS+10x tile per diff_completion_pipeline.py:92-105):
+#   noisy full cloud : [0.999, 0.990, 0.929, 0.641, 0.226]
+#   clean partial    : [1.000, 1.000, 0.995, 0.712, 0.324]
+# With ~1 m point-local noise at t~T, stride-2/4 levels barely merge voxels,
+# so the old shrink-2.0 defaults silently dropped 50-80% of coarse voxels
+# (spatially biased — the highest lexicographic keys go first).  Defaults
+# below cover both regimes with margin.
+DEFAULT_FRACTIONS = (1.0, 1.0, 1.0, 0.8, 0.4)
 
-    Level 0 can never exceed the point count; deeper levels shrink
-    conservatively (real LiDAR surfaces shrink ~3-4x per stride doubling;
-    we default to 2x with a floor)."""
-    caps = []
-    c = float(num_points)
-    for _ in range(num_levels):
-        caps.append(_round8(max(int(c), 1024)))
-        c = c / shrink
-    return caps
+
+def derive_capacities(num_points: int, fractions=None,
+                      num_levels: int = 5) -> list[int]:
+    """Static voxel capacities per pyramid level, as measured-occupancy
+    fractions of the point count (see DEFAULT_FRACTIONS)."""
+    if fractions is None:
+        fractions = DEFAULT_FRACTIONS
+    fractions = list(fractions) + [fractions[-1]] * num_levels
+    return [_round8(max(int(num_points * fractions[i]), 1024))
+            for i in range(num_levels)]
 
 
 DEFAULT_TPU = {
     "full_capacities": None,     # derived from data.num_points if None
     "part_capacities": None,     # derived from data.num_points / 10
-    "capacity_shrink": 2.0,
+    "capacity_fractions": None,  # per-level fractions of num_points
     "num_levels": 5,
     "knn_block": 2048,
     "compute_dtype": "float32",  # or "bfloat16" for the fast path
@@ -77,10 +86,11 @@ def finalize_config(cfg: dict) -> Cfg:
     n = int(cfg["data"]["num_points"])
     if tpu["full_capacities"] is None:
         tpu["full_capacities"] = derive_capacities(
-            n, tpu["capacity_shrink"], tpu["num_levels"])
+            n, tpu["capacity_fractions"], tpu["num_levels"])
     if tpu["part_capacities"] is None:
         tpu["part_capacities"] = derive_capacities(
-            max(n // 10, 1024), tpu["capacity_shrink"], tpu["num_levels"])
+            max(n // 10, 1024), tpu["capacity_fractions"],
+            tpu["num_levels"])
     cfg["tpu"] = tpu
     return Cfg(cfg)
 

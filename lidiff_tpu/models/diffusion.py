@@ -292,9 +292,11 @@ class DiffusionTask:
                        w_uncond: float | None = None,
                        solver: DPMSolver | None = None, chunk: int = 10):
         """Convenience driver; caches the compiled sampler per
-        (w, chunk, steps) so repeated calls reuse one compilation."""
-        cache_key = (w_uncond, chunk,
-                     int((solver or self.solver).num_steps))
+        (solver identity, w, chunk) so repeated calls reuse one compilation.
+        Solver identity matters: two solvers with equal step counts but
+        different schedules capture different coefficient tables in the
+        compiled closure."""
+        cache_key = (id(solver or self.solver), w_uncond, chunk)
         if not hasattr(self, "_chunk_cache"):
             self._chunk_cache = {}
         if cache_key not in self._chunk_cache:

@@ -50,12 +50,19 @@ class VoxelGeom:
     key_lo: jnp.ndarray    # [V] int32
     coords: jnp.ndarray    # [V, 4] int32 (batch, x, y, z)
     mask: jnp.ndarray      # [V] bool
-    num: jnp.ndarray       # [] int32 — number of valid voxels
+    num: jnp.ndarray       # [] int32 — number of valid voxels (<= capacity)
+    num_raw: jnp.ndarray   # [] int32 — unique voxels BEFORE capacity clip;
+    #                          num_raw > capacity means voxels were dropped
     stride: int = struct.field(pytree_node=False, default=1)
 
     @property
     def capacity(self) -> int:
         return self.key_hi.shape[0]
+
+    @property
+    def overflow(self) -> jnp.ndarray:
+        """Number of voxels deterministically dropped (highest keys)."""
+        return jnp.maximum(self.num_raw - self.capacity, 0)
 
 
 @struct.dataclass
@@ -167,7 +174,8 @@ def quantize(points: jnp.ndarray, resolution: float, capacity: int,
 
     geom = VoxelGeom(
         key_hi=key_hi, key_lo=key_lo, coords=coords, mask=mask,
-        num=jnp.minimum(n_unique, capacity).astype(jnp.int32), stride=1,
+        num=jnp.minimum(n_unique, capacity).astype(jnp.int32),
+        num_raw=n_unique.astype(jnp.int32), stride=1,
     )
     return geom, vox_feats, p2v.reshape(B, N)
 
@@ -218,7 +226,8 @@ def pool_geom(geom: VoxelGeom, out_capacity: int):
 
     geom_out = VoxelGeom(
         key_hi=key_hi, key_lo=key_lo, coords=coords, mask=mask,
-        num=jnp.minimum(n_unique, out_capacity).astype(jnp.int32), stride=s2,
+        num=jnp.minimum(n_unique, out_capacity).astype(jnp.int32),
+        num_raw=n_unique.astype(jnp.int32), stride=s2,
     )
     return geom_out, child2parent
 
@@ -244,14 +253,18 @@ def build_kernel_map(geom_in: VoxelGeom, geom_out: VoxelGeom,
     Ko = offsets.shape[0]
     q_coords = geom_out.coords[:, None, 1:] + offsets[None, :, :]   # [V,K,3]
     q_batch = jnp.broadcast_to(geom_out.coords[:, :1], (geom_out.capacity, Ko))
-    q_hi, q_lo, _ = K.pack(q_batch, q_coords)
+    q_hi, q_lo, q_valid = K.pack(q_batch, q_coords)
     q_hi = jnp.where(geom_out.mask[:, None], q_hi, K.HI_PAD)
     q_lo = jnp.where(geom_out.mask[:, None], q_lo, K.LO_PAD)
     idx, found = K.searchsorted_pair(geom_in.key_hi, geom_in.key_lo,
                                      q_hi.reshape(-1), q_lo.reshape(-1))
     idx = idx.reshape(geom_out.capacity, Ko)
     found = found.reshape(geom_out.capacity, Ko)
-    found = found & geom_out.mask[:, None]
+    # q_valid guards the coordinate-range sentinel: an out-of-range query
+    # packs to (HI_PAD, LO_PAD), which EQUALS padding rows' keys, so without
+    # this mask the search would "find" a padding row and the conv would
+    # silently depend on padding features being zero.
+    found = found & geom_out.mask[:, None] & q_valid
     return KernelMap(idx=idx, hit=found)
 
 
@@ -299,10 +312,13 @@ def build_kmap3_columns(geom: VoxelGeom) -> ColumnKernelMap:
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             base = xyz + jnp.asarray([dx * s, dy * s, -s], jnp.int32)
-            q_hi, q_lo, _ = K.pack(b, base)
+            q_hi, q_lo, q_valid = K.pack(b, base)
             q_hi = jnp.where(geom.mask, q_hi, K.HI_PAD)
             q_lo = jnp.where(geom.mask, q_lo, K.LO_PAD)
             p, m0 = K.searchsorted_pair(geom.key_hi, geom.key_lo, q_hi, q_lo)
+            # out-of-range queries pack to the padding sentinel and would
+            # otherwise "hit" padding rows (see build_kernel_map)
+            m0 = m0 & q_valid
             # z target keys differ only in lo by +s and +2s (no 4096 carry:
             # z stays within the same column by construction of the coords)
             p1 = jnp.minimum(p + m0.astype(jnp.int32), V - 1)
@@ -310,7 +326,13 @@ def build_kmap3_columns(geom: VoxelGeom) -> ColumnKernelMap:
             p2 = jnp.minimum(p1 + m1.astype(jnp.int32), V - 1)
             m2 = (geom.key_hi[p2] == q_hi) & (geom.key_lo[p2] == q_lo + 2 * s)
             base_cols.append(p)
-            hit_cols += [m0 & geom.mask, m1 & geom.mask, m2 & geom.mask]
+            # q_valid also guards m1/m2: with q_hi == HI_PAD the equality
+            # against padding rows would otherwise hold. (A query whose z-s
+            # tap is out of range loses its z/z+s taps too — conservative
+            # miss, unreachable at the 50 m / 0.05 m operating point where
+            # |coord| <= ~1100 << 2048.)
+            ok = geom.mask & q_valid
+            hit_cols += [m0 & ok, m1 & ok, m2 & ok]
 
     col_idx = jnp.stack(base_cols, axis=1)                    # [V, 9]
     hit = jnp.stack(hit_cols, axis=1)                         # [V, 27]
@@ -352,6 +374,13 @@ class Pyramid:
     levels: tuple          # tuple[LevelGeom] finest -> coarsest
     point2voxel: jnp.ndarray   # [B, N] into level-0 voxels
     vox_feats: jnp.ndarray     # [V0, C] UNWEIGHTED_AVERAGE input features
+
+    def overflows(self) -> jnp.ndarray:
+        """Per-level dropped-voxel counts [num_levels] int32. Any nonzero
+        entry means static capacities were exceeded and features were
+        deterministically (but spatially biasedly) dropped — size
+        capacities from measured occupancy (scripts/measure_occupancy.py)."""
+        return jnp.stack([l.geom.overflow for l in self.levels])
 
 
 def build_pyramid(points: jnp.ndarray, resolution: float,

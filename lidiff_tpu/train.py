@@ -91,7 +91,11 @@ def main(config, weights, checkpoint, test, max_steps):
     latest = {"state": state}
     trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
-    for epoch in range(int(cfg["train"]["max_epoch"])):
+    # resume at the epoch implied by the restored step (Lightning resumes at
+    # the saved epoch; without this a run resumed at epoch 15/20 would train
+    # 20 more epochs and misalign the LR-decay boundaries)
+    start_epoch = step // max(trainer.steps_per_epoch, 1)
+    for epoch in range(start_epoch, int(cfg["train"]["max_epoch"])):
         for batch in loader:
             key, k = jax.random.split(key)
             batch = {k2: jnp.asarray(v) for k2, v in batch.items()
@@ -128,7 +132,6 @@ def run_validation(task, cfg, state, data, trainer, step,
                          2 * float(cfg["data"]["resolution"]), 100)
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
-    sample = jax.jit(lambda v, xi, p, k: task.sample(v, xi, k, part=p))
     key = jax.random.PRNGKey(7)
     for i, batch in enumerate(data.val_dataloader()):
         if i >= max_batches:
@@ -136,7 +139,9 @@ def run_validation(task, cfg, state, data, trainer, step,
         part = jnp.asarray(batch["pcd_part"])
         x_init = jnp.tile(part, (1, 10, 1))
         key, k = jax.random.split(key)
-        out = np.asarray(sample(variables, x_init, part, k))
+        # chunked sampler: bounds device-call duration (long single
+        # executions can trip backend watchdogs; see BENCH_NOTES.md)
+        out = np.asarray(task.sample_chunked(variables, x_init, k, part))
         for b in range(out.shape[0]):
             cd.update(np.asarray(batch["pcd_full"][b]), out[b])
             pr.update(np.asarray(batch["pcd_full"][b]), out[b])
@@ -156,13 +161,12 @@ def run_test(task, cfg, state, data):
                          2 * float(cfg["data"]["resolution"]), 100)
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
-    sample = jax.jit(lambda v, xi, p, k: task.sample(v, xi, k, part=p))
     key = jax.random.PRNGKey(0)
     for i, batch in enumerate(data.val_dataloader()):
         part = jnp.asarray(batch["pcd_part"])
         x_init = jnp.tile(part, (1, 10, 1))
         key, k = jax.random.split(key)
-        out = np.asarray(sample(variables, x_init, part, k))
+        out = np.asarray(task.sample_chunked(variables, x_init, k, part))
         for b in range(out.shape[0]):
             cd.update(np.asarray(batch["pcd_full"][b]), out[b])
             pr.update(np.asarray(batch["pcd_full"][b]), out[b])

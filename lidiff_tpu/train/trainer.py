@@ -122,6 +122,7 @@ class Trainer:
         self.task = task
         self.cfg = cfg
         self.exp_dir = exp_dir
+        self.steps_per_epoch = steps_per_epoch
         self.mesh = pmesh.make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
         self.opt, self.schedule = make_optimizer(
