@@ -28,28 +28,35 @@ def _kaiming(key, shape, dtype=jnp.float32):
 
 
 class SparseConv(nn.Module):
-    """Sparse convolution over a precomputed kernel map."""
+    """Sparse convolution over a precomputed kernel map.
+
+    `groups` > 1 runs G independent feature sets ([V, G*C], group-major
+    channels) over the same geometry with SHARED weights — used to fuse the
+    classifier-free cond/uncond passes into one forward (gathers are
+    row-rate-bound, so G-wide rows gather for the price of one)."""
     features: int
     taps: int = 27
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, kmap: KernelMap, out_mask):
-        w = self.param("kernel", _kaiming,
-                       (self.taps, feats.shape[-1], self.features))
-        return sparse_conv(feats, kmap, w, out_mask)
+        cin = feats.shape[-1] // self.groups
+        w = self.param("kernel", _kaiming, (self.taps, cin, self.features))
+        return sparse_conv(feats, kmap, w, out_mask, groups=self.groups)
 
 
 class SparseConvTranspose(nn.Module):
     """ks=2 / stride-2 generative transpose conv onto the finer level."""
     features: int
     taps: int = 8
+    groups: int = 1
 
     @nn.compact
     def __call__(self, coarse_feats, parent_idx, tap, fine_mask):
-        w = self.param("kernel", _kaiming,
-                       (self.taps, coarse_feats.shape[-1], self.features))
+        cin = coarse_feats.shape[-1] // self.groups
+        w = self.param("kernel", _kaiming, (self.taps, cin, self.features))
         return sparse_conv_transpose(coarse_feats, parent_idx, tap, w,
-                                     fine_mask)
+                                     fine_mask, groups=self.groups)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -62,10 +69,11 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, mask, train: bool):
-        C = feats.shape[-1]
+        C = feats.shape[-1] // self.groups
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -73,6 +81,7 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,)))
         if train:
+            assert self.groups == 1, "grouped BN is inference-only"
             mean, var, cnt = masked_moments(feats, mask, self.axis_name)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
@@ -81,6 +90,11 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+        if self.groups > 1:
+            mean = jnp.tile(mean, self.groups)
+            var = jnp.tile(var, self.groups)
+            scale = jnp.tile(scale, self.groups)
+            bias = jnp.tile(bias, self.groups)
         y = (feats - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return jnp.where(mask[:, None], y, 0)
 
@@ -91,11 +105,14 @@ class ConvBNReLU(nn.Module):
     features: int
     taps: int = 27
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, kmap, out_mask, train: bool):
-        x = SparseConv(self.features, self.taps)(feats, kmap, out_mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name)(x, out_mask, train)
+        x = SparseConv(self.features, self.taps, self.groups)(
+            feats, kmap, out_mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)(
+            x, out_mask, train)
         return nn.relu(x)
 
 
@@ -104,12 +121,14 @@ class DeconvBNReLU(nn.Module):
     features: int
 
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, coarse_feats, parent_idx, tap, fine_mask, train: bool):
-        x = SparseConvTranspose(self.features)(coarse_feats, parent_idx, tap,
-                                               fine_mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine_mask, train)
+        x = SparseConvTranspose(self.features, groups=self.groups)(
+            coarse_feats, parent_idx, tap, fine_mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)(
+            x, fine_mask, train)
         return nn.relu(x)
 
 
@@ -118,22 +137,33 @@ class ResidualBlock(nn.Module):
     convs + BN with a (1x1 conv + BN) shortcut when channels change."""
     features: int
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, kmap, mask, train: bool):
-        x = SparseConv(self.features, 27)(feats, kmap, mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name)(x, mask, train)
+        G = self.groups
+        x = SparseConv(self.features, 27, G)(feats, kmap, mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
+            x, mask, train)
         x = nn.relu(x)
-        x = SparseConv(self.features, 27)(x, kmap, mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name)(x, mask, train)
-        if feats.shape[-1] == self.features:
+        x = SparseConv(self.features, 27, G)(x, kmap, mask)
+        x = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
+            x, mask, train)
+        cin = feats.shape[-1] // G
+        if cin == self.features:
             short = feats
         else:
-            # 1x1 conv == per-voxel dense
+            # 1x1 conv == per-voxel dense; apply per group via a reshape
+            # (Dense broadcasts over leading dims, contraction per group is
+            # identical to the ungrouped op)
+            V = feats.shape[0]
+            fin = feats.reshape(V, G, cin) if G > 1 else feats
             short = nn.Dense(self.features, use_bias=False,
-                             kernel_init=_kaiming)(feats)
-            short = MaskedBatchNorm(axis_name=self.axis_name)(short, mask,
-                                                              train)
+                             kernel_init=_kaiming)(fin)
+            if G > 1:
+                short = short.reshape(V, G * self.features)
+            short = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
+                short, mask, train)
         return nn.relu(x + short)
 
 
@@ -154,21 +184,34 @@ class MLP(nn.Module):
         return nn.Dense(self.out, dtype=dt)(x).astype(jnp.float32)
 
 
+def group_concat(a, b, groups: int):
+    """Channel-concat of two group-major arrays: [V, G*Ca] ++ [V, G*Cb]
+    -> [V, G*(Ca+Cb)], concatenating per group."""
+    if groups == 1:
+        return jnp.concatenate([a, b], axis=-1)
+    V = a.shape[0]
+    ar = a.reshape(V, groups, -1)
+    br = b.reshape(V, groups, -1)
+    return jnp.concatenate([ar, br], axis=-1).reshape(V, -1)
+
+
 class DownStage(nn.Module):
     """stage_i pattern (minkunet.py:102-124 / 183-262): ks=2/stride-2 down
     conv followed by two residual blocks on the coarser level."""
     mid: int
     out: int
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, fine: LevelGeom, coarse: LevelGeom,
                  train: bool):
-        x = ConvBNReLU(self.mid, taps=8, axis_name=self.axis_name)(
+        x = ConvBNReLU(self.mid, taps=8, axis_name=self.axis_name,
+                       groups=self.groups)(
             feats, fine.down_kmap, coarse.geom.mask, train)
-        x = ResidualBlock(self.out, self.axis_name)(
+        x = ResidualBlock(self.out, self.axis_name, self.groups)(
             x, coarse.kmap3, coarse.geom.mask, train)
-        x = ResidualBlock(self.out, self.axis_name)(
+        x = ResidualBlock(self.out, self.axis_name, self.groups)(
             x, coarse.kmap3, coarse.geom.mask, train)
         return x
 
@@ -178,17 +221,19 @@ class UpStage(nn.Module):
     level, channel-concat with the skip, two residual blocks."""
     up_ch: int
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, coarse_feats, skip_feats, fine: LevelGeom,
                  train: bool):
-        y = DeconvBNReLU(self.up_ch, axis_name=self.axis_name)(
+        y = DeconvBNReLU(self.up_ch, axis_name=self.axis_name,
+                         groups=self.groups)(
             coarse_feats, fine.parent_idx, fine.up_tap, fine.geom.mask,
             train)
-        y = jnp.concatenate([y, skip_feats], axis=-1)
-        y = ResidualBlock(self.up_ch, self.axis_name)(
+        y = group_concat(y, skip_feats, self.groups)
+        y = ResidualBlock(self.up_ch, self.axis_name, self.groups)(
             y, fine.kmap3, fine.geom.mask, train)
-        y = ResidualBlock(self.up_ch, self.axis_name)(
+        y = ResidualBlock(self.up_ch, self.axis_name, self.groups)(
             y, fine.kmap3, fine.geom.mask, train)
         return y
 
@@ -197,11 +242,14 @@ class Stem(nn.Module):
     """stem pattern (minkunet.py:93-100): two ks=3 conv+BN+ReLU at stride 1."""
     features: int
     axis_name: Optional[str] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, level: LevelGeom, train: bool):
-        x = ConvBNReLU(self.features, axis_name=self.axis_name)(
+        x = ConvBNReLU(self.features, axis_name=self.axis_name,
+                       groups=self.groups)(
             feats, level.kmap3, level.geom.mask, train)
-        x = ConvBNReLU(self.features, axis_name=self.axis_name)(
+        x = ConvBNReLU(self.features, axis_name=self.axis_name,
+                       groups=self.groups)(
             x, level.kmap3, level.geom.mask, train)
         return x

@@ -36,11 +36,16 @@ class DiffusionModel(nn.Module):
     """Partial-scan encoder + conditional denoiser under one param tree."""
     out_dim: int = 96
     axis_name: Optional[str] = None
+    cr: float = 1.0
+    remat: bool = True
 
     def setup(self):
-        self.partial_enc = MinkGlobalEnc(axis_name=self.axis_name)
-        self.denoiser = MinkUNetDiff(out_dim=self.out_dim,
-                                     axis_name=self.axis_name)
+        self.partial_enc = MinkGlobalEnc(cr=self.cr,
+                                         axis_name=self.axis_name,
+                                         remat=self.remat)
+        self.denoiser = MinkUNetDiff(out_dim=self.out_dim, cr=self.cr,
+                                     axis_name=self.axis_name,
+                                     remat=self.remat)
 
     def encode_partial(self, pyr_part: Pyramid, train: bool = False):
         return self.partial_enc(pyr_part, train)
@@ -78,7 +83,10 @@ class DiffusionTask:
                                       d["s_steps"], d.get("beta_start"),
                                       d.get("beta_end"))
         self.model = DiffusionModel(out_dim=cfg["model"]["out_dim"],
-                                    axis_name=axis_name)
+                                    axis_name=axis_name,
+                                    cr=float(cfg["model"].get("cr", 1.0)),
+                                    remat=bool(cfg["tpu"].get("remat",
+                                                              True)))
         self.resolution = float(cfg["data"]["resolution"])
         self.full_caps = list(cfg["tpu"]["full_capacities"])
         self.part_caps = list(cfg["tpu"]["part_capacities"])
@@ -159,17 +167,23 @@ class DiffusionTask:
     # ---------------- sampling ----------------
 
     def denoise_pair(self, variables, points, part_feats_c, part_geom_c,
-                     part_feats_u, part_geom_u, t):
+                     part_feats_u, part_geom_u, t, w_uncond=None):
         """Classifier-free guided noise prediction at the current cloud.
-        Geometry is built once and shared by both passes
-        (cf. reference classfree_forward, models.py:98-103)."""
+
+        One FUSED grouped forward (cf. reference classfree_forward,
+        models.py:98-103, which runs two): geometry, gathers, and conv
+        weights are shared between the conditioned and unconditioned
+        streams; only the per-stage conditioning gates differ. TPU row
+        gathers are rate-bound, so the pair costs ~one forward."""
+        w = self.w_uncond if w_uncond is None else w_uncond
         pyr = self.pyramid_full(points)
         tvec = jnp.full((points.shape[0],), t, jnp.int32)
-        eps_c = self.model.apply(variables, pyr, part_feats_c, part_geom_c,
-                                 tvec, False, method=DiffusionModel.denoise)
-        eps_u = self.model.apply(variables, pyr, part_feats_u, part_geom_u,
-                                 tvec, False, method=DiffusionModel.denoise)
-        return eps_u + self.w_uncond * (eps_c - eps_u)
+        eps = self.model.apply(variables, pyr,
+                               (part_feats_c, part_feats_u),
+                               (part_geom_c, part_geom_u),
+                               tvec, False, method=DiffusionModel.denoise)
+        eps_c, eps_u = eps[..., 0, :], eps[..., 1, :]
+        return eps_u + w * (eps_c - eps_u)
 
     def sample(self, variables, x_init, key, w_uncond: float | None = None,
                solver: DPMSolver | None = None, part: jnp.ndarray | None = None):
@@ -206,13 +220,8 @@ class DiffusionTask:
             k, k1 = jax.random.split(k)
             t = solver.timesteps[i]
             points = x_init + state.sample
-            tvec = jnp.full((points.shape[0],), t, jnp.int32)
-            pyr = self.pyramid_full(points)
-            eps_c = self.model.apply(variables, pyr, feats_c, geom_c, tvec,
-                                     False, method=DiffusionModel.denoise)
-            eps_u = self.model.apply(variables, pyr, feats_u, geom_u, tvec,
-                                     False, method=DiffusionModel.denoise)
-            eps = eps_u + w * (eps_c - eps_u)
+            eps = self.denoise_pair(variables, points, feats_c, geom_c,
+                                    feats_u, geom_u, t, w)
             z = jax.random.normal(k1, state.sample.shape, state.sample.dtype)
             state = solver_step(solver, state, eps, z)
             return (state, k), None
@@ -263,15 +272,9 @@ class DiffusionTask:
                 t = solver.timesteps[jnp.minimum(i, solver.num_steps - 1)]
                 live = i < solver.num_steps
                 points = ctx["x_init"] + state.sample
-                tvec = jnp.full((points.shape[0],), t, jnp.int32)
-                pyr = self.pyramid_full(points)
-                eps_c = self.model.apply(
-                    variables, pyr, ctx["feats_c"], ctx["geom_c"], tvec,
-                    False, method=DiffusionModel.denoise)
-                eps_u = self.model.apply(
-                    variables, pyr, ctx["feats_u"], ctx["geom_u"], tvec,
-                    False, method=DiffusionModel.denoise)
-                eps = eps_u + w * (eps_c - eps_u)
+                eps = self.denoise_pair(
+                    variables, points, ctx["feats_c"], ctx["geom_c"],
+                    ctx["feats_u"], ctx["geom_u"], t, w)
                 z = jax.random.normal(k1, state.sample.shape,
                                       state.sample.dtype)
                 new = solver_step(solver, state, eps, z)

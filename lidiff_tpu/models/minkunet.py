@@ -88,20 +88,33 @@ class _StageGate(nn.Module):
     Takes the 1-NN-matched partial feature `match` precomputed per level:
     down and up stages at the same level share the same coordinate set, so
     the denoiser needs only 5 distinct matches, not 8 (the reference
-    recomputes per stage, minkunet.py:424-491)."""
+    recomputes per stage, minkunet.py:424-491).
+
+    With `groups` G > 1, `match` is [V, G, c4] (one conditioning bank per
+    group — the fused classifier-free cond/uncond execution) and `feats`
+    is [V, G*C] group-major; gate MLPs share parameters across groups."""
     gate_out: int
     latemp_hidden: int
     swap: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, feats, geom: VoxelGeom, match, temp_emb):
+        G = self.groups
         c4 = match.shape[-1]
-        p = MLP(c4, c4, name="latent")(match)
+        p = MLP(c4, c4, name="latent")(match)           # [V, (G,) c4]
         t = MLP(temp_emb.shape[-1], c4, name="temp")(temp_emb)
         t_vox = t[geom.coords[:, 0]]                     # batch-id gather
+        if G > 1:
+            t_vox = jnp.broadcast_to(t_vox[:, None, :], p.shape)
         pt = jnp.concatenate([t_vox, p] if self.swap else [p, t_vox],
                              axis=-1)
         w = MLP(self.latemp_hidden, self.gate_out, name="latemp")(pt)
+        if G > 1:
+            V = feats.shape[0]
+            f = feats.reshape(V, G, -1)
+            f = f * jnp.where(geom.mask[:, None, None], w, 0)
+            return f.reshape(V, -1)
         return feats * jnp.where(geom.mask[:, None], w, 0)
 
 
@@ -113,8 +126,19 @@ class MinkUNetDiff(nn.Module):
     remat: bool = True
 
     @nn.compact
-    def __call__(self, pyr: Pyramid, part_feats, part_geom: VoxelGeom,
+    def __call__(self, pyr: Pyramid, part_feats, part_geom,
                  t: jnp.ndarray, train: bool = False):
+        """part_feats / part_geom may be G-tuples: the denoiser then runs G
+        independent conditioning streams (one per bank) over the SAME voxel
+        geometry in one fused pass with shared parameters — gathers are
+        row-rate-bound on TPU, so this runs the classifier-free cond+uncond
+        pair (reference models.py:98-103) for ~the cost of one forward.
+        Output is [B, N, 3] (G=1) or [B, N, G, 3]."""
+        if isinstance(part_feats, (tuple, list)):
+            banks = list(zip(part_feats, part_geom))
+        else:
+            banks = [(part_feats, part_geom)]
+        G = len(banks)
         cs = [int(self.cr * c) for c in CS]
         lv = pyr.levels
         DownStage = _maybe_remat(globals()["DownStage"],
@@ -122,56 +146,64 @@ class MinkUNetDiff(nn.Module):
         UpStage = _maybe_remat(globals()["UpStage"], self.remat and train)
         temp = timestep_embedding(t, self.out_dim)
 
-        # one 1-NN conditioning match per level, shared by the down and up
-        # stages that live on that level's coordinate set
-        match = [match_features(l.geom.coords, l.geom.mask,
-                                part_geom.coords, part_geom.mask,
-                                part_feats) for l in lv]
+        # one 1-NN conditioning match per level and bank, shared by the down
+        # and up stages that live on that level's coordinate set
+        def level_match(l):
+            ms = [match_features(l.geom.coords, l.geom.mask, pg.coords,
+                                 pg.mask, pf) for pf, pg in banks]
+            return ms[0] if G == 1 else jnp.stack(ms, axis=1)  # [V, G, c4]
+        match = [level_match(l) for l in lv]
 
         # (gate_out, latemp_hidden) per stage; hidden widths follow the
         # reference latemp_* layer plans (minkunet.py:171-175, 299-303,
         # 327-331, 355-359)
         def gate(out, hidden, swap=False, name=None):
-            return _StageGate(out, hidden, swap, name=name)
+            return _StageGate(out, hidden, swap, G, name=name)
 
+        def down(mid, out, name):
+            return DownStage(mid, out, self.axis_name, G, name=name)
+
+        def up(ch, name):
+            return UpStage(ch, self.axis_name, G, name=name)
+
+        # the stem input (voxelized points) is identical for every group:
+        # run it once and tile — exact (both reference passes would compute
+        # the same stem activations)
         x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
             pyr.vox_feats, lv[0], train)
+        if G > 1:
+            x0 = jnp.tile(x0, (1, G))
         g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, match[0],
                                                 temp)
-        x1 = DownStage(cs[0], cs[1], self.axis_name, name="DownStage_0")(
-            g0, lv[0], lv[1], train)
+        x1 = down(cs[0], cs[1], "DownStage_0")(g0, lv[0], lv[1], train)
         g1 = gate(cs[1], cs[4], name="gate_s2")(x1, lv[1].geom, match[1],
                                                 temp)
-        x2 = DownStage(cs[1], cs[2], self.axis_name, name="DownStage_1")(
-            g1, lv[1], lv[2], train)
+        x2 = down(cs[1], cs[2], "DownStage_1")(g1, lv[1], lv[2], train)
         g2 = gate(cs[2], cs[4], name="gate_s3")(x2, lv[2].geom, match[2],
                                                 temp)
-        x3 = DownStage(cs[2], cs[3], self.axis_name, name="DownStage_2")(
-            g2, lv[2], lv[3], train)
+        x3 = down(cs[2], cs[3], "DownStage_2")(g2, lv[2], lv[3], train)
         g3 = gate(cs[3], cs[4], name="gate_s4")(x3, lv[3].geom, match[3],
                                                 temp)
-        x4 = DownStage(cs[3], cs[4], self.axis_name, name="DownStage_3")(
-            g3, lv[3], lv[4], train)
+        x4 = down(cs[3], cs[4], "DownStage_3")(g3, lv[3], lv[4], train)
 
         g4 = gate(cs[4], cs[4], swap=True, name="gate_u1")(
             x4, lv[4].geom, match[4], temp)
-        y1 = UpStage(cs[5], self.axis_name, name="UpStage_0")(
-            g4, x3, lv[3], train)
+        y1 = up(cs[5], "UpStage_0")(g4, x3, lv[3], train)
         g5 = gate(cs[5], cs[5], name="gate_u2")(y1, lv[3].geom, match[3],
                                                 temp)
-        y2 = UpStage(cs[6], self.axis_name, name="UpStage_1")(
-            g5, x2, lv[2], train)
+        y2 = up(cs[6], "UpStage_1")(g5, x2, lv[2], train)
         g6 = gate(cs[6], cs[6], name="gate_u3")(y2, lv[2].geom, match[2],
                                                 temp)
-        y3 = UpStage(cs[7], self.axis_name, name="UpStage_2")(
-            g6, x1, lv[1], train)
+        y3 = up(cs[7], "UpStage_2")(g6, x1, lv[1], train)
         g7 = gate(cs[7], cs[7], name="gate_u4")(y3, lv[1].geom, match[1],
                                                 temp)
-        y4 = UpStage(cs[8], self.axis_name, name="UpStage_3")(
-            g7, x0, lv[0], train)
+        y4 = up(cs[8], "UpStage_3")(g7, x0, lv[0], train)
 
         # per-point head after TensorField slice-back (ref :376-380, :497)
         pt_feats = slice_to_points(y4, pyr.point2voxel)
+        if G > 1:
+            B, N = pt_feats.shape[:2]
+            pt_feats = pt_feats.reshape(B, N, G, -1)
         out = MLP(20, 3, name="head")(pt_feats)
         return out
 

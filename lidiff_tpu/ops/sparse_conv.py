@@ -49,8 +49,8 @@ def set_compute_dtype(name: str) -> None:
 
 
 def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
-                        weights: jnp.ndarray,
-                        out_mask: jnp.ndarray) -> jnp.ndarray:
+                        weights: jnp.ndarray, out_mask: jnp.ndarray,
+                        groups: int = 1) -> jnp.ndarray:
     """27-tap sparse conv over a column kernel map.
 
     The column map is cheap to BUILD (9 binary searches instead of 27);
@@ -59,29 +59,42 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     and is ~150x slower), so the dense per-tap indices are reconstructed
     arithmetically (rows p, p+m0, p+m0+m1) and the conv accumulates 27
     gather+GEMM pairs in the compute dtype.
+
+    `groups`: feats is [V, G*Cin] (group-major channels) holding G
+    INDEPENDENT feature sets over the SAME voxel geometry, convolved with
+    the SAME weights. TPU row gathers are row-RATE-bound (measured: C=32
+    and C=96 rows cost the same), so one gather of G-fold-wide rows serves
+    all groups — this is how the sampler fuses the conditioned and
+    unconditioned classifier-free passes (reference classfree_forward,
+    /root/reference/lidiff/models/models.py:98-103) into one forward at
+    roughly half the per-step gather cost. Each group's GEMM contracts
+    exactly as the ungrouped conv would, so results match bitwise.
     """
     Kt, Cin, Cout = weights.shape
     assert Kt == 27
+    G = groups
+    assert feats.shape[-1] == G * Cin
     out_dtype = feats.dtype
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
 
-    # TPU gathers are row-RATE-bound, not byte-bound (measured: C=32 and
-    # C=96 row gathers cost the same). Build a 3-row windowed view once
-    # (sequential writes at full HBM bandwidth), then each column needs ONE
-    # [V] row-gather of the 3C-wide window instead of three C-wide gathers:
-    # 9 gathers per conv instead of 27.
-    fpad = jnp.concatenate([cf, jnp.zeros((2, Cin), cf.dtype)], 0)
-    wnd = jnp.concatenate([fpad[:-2], fpad[1:-1], fpad[2:]], 1)  # [V, 3C]
+    # TPU gathers are row-RATE-bound, not byte-bound. Build a 3-row windowed
+    # view once (sequential writes at full HBM bandwidth), then each column
+    # needs ONE [V] row-gather of the 3*G*C-wide window instead of three
+    # C-wide gathers per group: 9 gathers per conv regardless of groups.
+    W = G * Cin
+    fpad = jnp.concatenate([cf, jnp.zeros((2, W), cf.dtype)], 0)
+    wnd = jnp.concatenate([fpad[:-2], fpad[1:-1], fpad[2:]], 1)  # [V, 3W]
 
-    out = jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
+    outs = [jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
+            for _ in range(G)]
     for col in range(9):
         base = jnp.minimum(kmap.col_idx[:, col], wnd.shape[0] - 1)
         hit3 = kmap.hit[:, col * 3:(col + 1) * 3]
-        g3 = wnd[base]                                     # [V, 3C]
-        s0 = g3[:, :Cin]
-        s1 = g3[:, Cin:2 * Cin]
-        s2 = g3[:, 2 * Cin:]
+        g3 = wnd[base]                                     # [V, 3W]
+        s0 = g3[:, :W]
+        s1 = g3[:, W:2 * W]
+        s2 = g3[:, 2 * W:]
         m0 = hit3[:, 0:1]
         m1 = hit3[:, 1:2]
         m2 = hit3[:, 2:3]
@@ -91,35 +104,45 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
         r2 = m0.astype(jnp.int32) + m1.astype(jnp.int32)
         g_zp1 = jnp.where(m2, jnp.where(r2 == 2, s2,
                                         jnp.where(r2 == 1, s1, s0)), 0)
-        g = jnp.concatenate([g_zm1, g_z0, g_zp1], axis=1)  # [V, 3C]
         w3 = cw[col * 3:(col + 1) * 3].reshape(3 * Cin, Cout)
-        out = out + jnp.dot(g, w3, preferred_element_type=out_dtype,
-                            precision=PRECISION)
+        for g in range(G):
+            sl = slice(g * Cin, (g + 1) * Cin)
+            gg = jnp.concatenate([g_zm1[:, sl], g_z0[:, sl], g_zp1[:, sl]],
+                                 axis=1)                   # [V, 3Cin]
+            outs[g] = outs[g] + jnp.dot(gg, w3,
+                                        preferred_element_type=out_dtype,
+                                        precision=PRECISION)
+    out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(out_mask[:, None], out, 0)
 
 
 def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
-                out_mask: jnp.ndarray, *, fused: bool = False) -> jnp.ndarray:
+                out_mask: jnp.ndarray, *, fused: bool = False,
+                groups: int = 1) -> jnp.ndarray:
     """Sparse convolution.
 
     Args:
-      feats: [V_in, Cin] input voxel features (padding rows must be zero or
-        will be masked by `kmap.hit`).
+      feats: [V_in, G*Cin] input voxel features (padding rows must be zero
+        or will be masked by `kmap.hit`); G independent group feature sets
+        over the same geometry (see sparse_conv_columns).
       kmap: gather map [V_out, K] (KernelMap) or a ColumnKernelMap for
         27-tap convs (slab-gather fast path).
-      weights: [K, Cin, Cout] per-tap weights.
+      weights: [K, Cin, Cout] per-tap weights, shared across groups.
       out_mask: [V_out] validity of output voxels.
       fused: if True, materialize the [V_out, K*Cin] gathered matrix and run
         a single large GEMM (better MXU utilization, more memory); otherwise
         accumulate K small GEMMs.
     """
     if isinstance(kmap, ColumnKernelMap):
-        return sparse_conv_columns(feats, kmap, weights, out_mask)
+        return sparse_conv_columns(feats, kmap, weights, out_mask,
+                                   groups=groups)
     Kt, Cin, Cout = weights.shape
+    G = groups
+    assert feats.shape[-1] == G * Cin
     out_dtype = feats.dtype
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
-    if fused:
+    if fused and G == 1:
         g = cf[kmap.idx]                                 # [V, K, Cin]
         g = jnp.where(kmap.hit[..., None], g, 0)
         out = jnp.dot(g.reshape(g.shape[0], Kt * Cin),
@@ -127,19 +150,23 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                       preferred_element_type=out_dtype,
                       precision=PRECISION)
     else:
-        out = jnp.zeros((kmap.idx.shape[0], Cout), out_dtype)
+        outs = [jnp.zeros((kmap.idx.shape[0], Cout), out_dtype)
+                for _ in range(G)]
         for k in range(Kt):
-            g = cf[kmap.idx[:, k]]
+            g = cf[kmap.idx[:, k]]                       # [V, G*Cin]
             g = jnp.where(kmap.hit[:, k, None], g, 0)
-            out = out + jnp.dot(g, cw[k],
-                                preferred_element_type=out_dtype,
-                                precision=PRECISION)
+            for gi in range(G):
+                outs[gi] = outs[gi] + jnp.dot(
+                    g[:, gi * Cin:(gi + 1) * Cin], cw[k],
+                    preferred_element_type=out_dtype, precision=PRECISION)
+        out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(out_mask[:, None], out, 0)
 
 
 def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
                           tap: jnp.ndarray, weights: jnp.ndarray,
-                          fine_mask: jnp.ndarray) -> jnp.ndarray:
+                          fine_mask: jnp.ndarray,
+                          groups: int = 1) -> jnp.ndarray:
     """Transpose (generative up) convolution, ks=2 / stride 2.
 
     Every fine voxel has exactly one coarse parent; its kernel tap is its
@@ -147,10 +174,12 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     coarse[parent(v)] @ W[tap(v)].
 
     Args:
-      coarse_feats: [V_c, Cin]; parent_idx: [V_f] int32 (== V_c when absent);
+      coarse_feats: [V_c, G*Cin]; parent_idx: [V_f] int32 (== V_c if absent);
       tap: [V_f] int32 in [0, K); weights: [K, Cin, Cout]; fine_mask: [V_f].
     """
     Kt, Cin, Cout = weights.shape
+    G = groups
+    assert coarse_feats.shape[-1] == G * Cin
     Vc = coarse_feats.shape[0]
     out_dtype = coarse_feats.dtype
     cf = coarse_feats.astype(COMPUTE_DTYPE)
@@ -158,12 +187,15 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     ok = (parent_idx < Vc) & fine_mask
     g = cf[jnp.minimum(parent_idx, Vc - 1)]
     g = jnp.where(ok[:, None], g, 0)
-    out = jnp.zeros((g.shape[0], Cout), out_dtype)
+    outs = [jnp.zeros((g.shape[0], Cout), out_dtype) for _ in range(G)]
     for k in range(Kt):
         sel = (tap == k) & ok
-        out = out + jnp.dot(jnp.where(sel[:, None], g, 0), cw[k],
-                            preferred_element_type=out_dtype,
-                            precision=PRECISION)
+        gk = jnp.where(sel[:, None], g, 0)
+        for gi in range(G):
+            outs[gi] = outs[gi] + jnp.dot(
+                gk[:, gi * Cin:(gi + 1) * Cin], cw[k],
+                preferred_element_type=out_dtype, precision=PRECISION)
+    out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(fine_mask[:, None], out, 0)
 
 

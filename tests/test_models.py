@@ -109,6 +109,39 @@ def test_chunked_sampler_matches_scan(task, variables):
                                    err_msg=f"chunk={chunk}")
 
 
+def test_grouped_classfree_matches_two_passes(task, variables):
+    """The fused cond/uncond grouped forward must reproduce two separate
+    denoiser passes exactly (same params, same geometry, per-group GEMM
+    contractions identical to the ungrouped op)."""
+    from lidiff_tpu.models.diffusion import DiffusionModel
+    rng = np.random.default_rng(13)
+    batch = _batch(13)
+    part = batch["pcd_part"]
+    pyr_f = task.pyramid_full(batch["pcd_full"])
+    pyr_c = task.pyramid_part(part)
+    pyr_u = task.pyramid_part_tiny(jnp.zeros_like(part))
+    feats_c = task.model.apply(variables, pyr_c, False,
+                               method=DiffusionModel.encode_partial)
+    feats_u = task.model.apply(variables, pyr_u, False,
+                               method=DiffusionModel.encode_partial)
+    geom_c = pyr_c.levels[-1].geom
+    geom_u = pyr_u.levels[-1].geom
+    t = jnp.full((B,), 37, jnp.int32)
+
+    eps_c = task.model.apply(variables, pyr_f, feats_c, geom_c, t, False,
+                             method=DiffusionModel.denoise)
+    eps_u = task.model.apply(variables, pyr_f, feats_u, geom_u, t, False,
+                             method=DiffusionModel.denoise)
+    pair = task.model.apply(variables, pyr_f, (feats_c, feats_u),
+                            (geom_c, geom_u), t, False,
+                            method=DiffusionModel.denoise)
+    assert pair.shape == (B, NF, 2, 3)
+    np.testing.assert_allclose(np.asarray(pair[..., 0, :]),
+                               np.asarray(eps_c), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pair[..., 1, :]),
+                               np.asarray(eps_u), rtol=1e-6, atol=1e-6)
+
+
 def test_bf16_compute_path_close_to_f32(task, variables):
     from lidiff_tpu.ops import sparse_conv as sc
     batch = _batch(7)
