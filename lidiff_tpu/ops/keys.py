@@ -84,13 +84,21 @@ def searchsorted_pair(hi_arr: jnp.ndarray, lo_arr: jnp.ndarray,
     steps = max(1, math.ceil(math.log2(max(n, 2))) + 1)
     lo_b = jnp.zeros(q_hi.shape, dtype=jnp.int32)
     hi_b = jnp.full(q_hi.shape, n, dtype=jnp.int32)
-    for _ in range(steps):
+
+    # fori_loop, not an unrolled python loop: the ~18 probe rounds are
+    # inherently sequential (no fusion lost) and the rolled form keeps the
+    # HLO ~18x smaller — kernel-map building emits dozens of these searches
+    # and the unrolled variant dominated CPU compile time (the round-1
+    # multichip dryrun timed out compiling).
+    def probe(_, carry):
+        lo_b, hi_b = carry
         mid = (lo_b + hi_b) >> 1
         mh = hi_arr[mid]
         ml = lo_arr[mid]
         less = pair_less(mh, ml, q_hi, q_lo)
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
+        return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
+
+    lo_b, hi_b = jax.lax.fori_loop(0, steps, probe, (lo_b, hi_b))
     idx = jnp.clip(lo_b, 0, n - 1)
     found = (hi_arr[idx] == q_hi) & (lo_arr[idx] == q_lo)
     return idx, found

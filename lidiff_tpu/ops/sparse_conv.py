@@ -36,6 +36,12 @@ COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
     "LIDIFF_COMPUTE_DTYPE", "float32").lower() in ("bf16", "bfloat16") \
     else jnp.float32
 
+# Rolled (lax.scan) tap loops: identical math, ~9-27x smaller HLO. Used
+# where COMPILE time dominates (the CPU multichip dryrun, CPU tests);
+# unrolled loops stay the default on TPU where XLA overlaps gathers across
+# columns.
+SCAN_TAPS = os.environ.get("LIDIFF_CONV_SCAN", "0").lower() in ("1", "true")
+
 
 def set_precision(name: str) -> None:
     global PRECISION
@@ -86,11 +92,8 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     fpad = jnp.concatenate([cf, jnp.zeros((2, W), cf.dtype)], 0)
     wnd = jnp.concatenate([fpad[:-2], fpad[1:-1], fpad[2:]], 1)  # [V, 3W]
 
-    outs = [jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
-            for _ in range(G)]
-    for col in range(9):
-        base = jnp.minimum(kmap.col_idx[:, col], wnd.shape[0] - 1)
-        hit3 = kmap.hit[:, col * 3:(col + 1) * 3]
+    def one_column(base, hit3, w3):
+        base = jnp.minimum(base, wnd.shape[0] - 1)
         g3 = wnd[base]                                     # [V, 3W]
         s0 = g3[:, :W]
         s1 = g3[:, W:2 * W]
@@ -104,14 +107,36 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
         r2 = m0.astype(jnp.int32) + m1.astype(jnp.int32)
         g_zp1 = jnp.where(m2, jnp.where(r2 == 2, s2,
                                         jnp.where(r2 == 1, s1, s0)), 0)
-        w3 = cw[col * 3:(col + 1) * 3].reshape(3 * Cin, Cout)
+        per_g = []
         for g in range(G):
             sl = slice(g * Cin, (g + 1) * Cin)
             gg = jnp.concatenate([g_zm1[:, sl], g_z0[:, sl], g_zp1[:, sl]],
                                  axis=1)                   # [V, 3Cin]
-            outs[g] = outs[g] + jnp.dot(gg, w3,
-                                        preferred_element_type=out_dtype,
-                                        precision=PRECISION)
+            per_g.append(jnp.dot(gg, w3, preferred_element_type=out_dtype,
+                                 precision=PRECISION))
+        return per_g
+
+    w3s = cw.reshape(9, 3 * Cin, Cout)
+    if SCAN_TAPS:
+        hitT = kmap.hit.reshape(-1, 9, 3).transpose(1, 0, 2)   # [9, V, 3]
+
+        def body(acc, xs):
+            base, hit3, w3 = xs
+            per_g = one_column(base, hit3, w3)
+            return tuple(a + p for a, p in zip(acc, per_g)), None
+
+        init = tuple(jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
+                     for _ in range(G))
+        outs, _ = jax.lax.scan(body, init,
+                               (kmap.col_idx.T, hitT, w3s))
+        outs = list(outs)
+    else:
+        outs = [jnp.zeros((kmap.col_idx.shape[0], Cout), out_dtype)
+                for _ in range(G)]
+        for col in range(9):
+            per_g = one_column(kmap.col_idx[:, col],
+                               kmap.hit[:, col * 3:(col + 1) * 3], w3s[col])
+            outs = [a + p for a, p in zip(outs, per_g)]
     out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(out_mask[:, None], out, 0)
 
@@ -150,15 +175,27 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                       preferred_element_type=out_dtype,
                       precision=PRECISION)
     else:
-        outs = [jnp.zeros((kmap.idx.shape[0], Cout), out_dtype)
-                for _ in range(G)]
-        for k in range(Kt):
-            g = cf[kmap.idx[:, k]]                       # [V, G*Cin]
-            g = jnp.where(kmap.hit[:, k, None], g, 0)
-            for gi in range(G):
-                outs[gi] = outs[gi] + jnp.dot(
-                    g[:, gi * Cin:(gi + 1) * Cin], cw[k],
-                    preferred_element_type=out_dtype, precision=PRECISION)
+        def one_tap(idx_k, hit_k, w_k):
+            g = cf[idx_k]                                # [V, G*Cin]
+            g = jnp.where(hit_k[:, None], g, 0)
+            return [jnp.dot(g[:, gi * Cin:(gi + 1) * Cin], w_k,
+                            preferred_element_type=out_dtype,
+                            precision=PRECISION) for gi in range(G)]
+
+        init = tuple(jnp.zeros((kmap.idx.shape[0], Cout), out_dtype)
+                     for _ in range(G))
+        if SCAN_TAPS:
+            def body(acc, xs):
+                per_g = one_tap(*xs)
+                return tuple(a + p for a, p in zip(acc, per_g)), None
+            outs, _ = jax.lax.scan(body, init,
+                                   (kmap.idx.T, kmap.hit.T, cw))
+            outs = list(outs)
+        else:
+            outs = list(init)
+            for k in range(Kt):
+                per_g = one_tap(kmap.idx[:, k], kmap.hit[:, k], cw[k])
+                outs = [a + p for a, p in zip(outs, per_g)]
         out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(out_mask[:, None], out, 0)
 
@@ -187,14 +224,27 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     ok = (parent_idx < Vc) & fine_mask
     g = cf[jnp.minimum(parent_idx, Vc - 1)]
     g = jnp.where(ok[:, None], g, 0)
-    outs = [jnp.zeros((g.shape[0], Cout), out_dtype) for _ in range(G)]
-    for k in range(Kt):
+
+    def one_tap(k, w_k):
         sel = (tap == k) & ok
         gk = jnp.where(sel[:, None], g, 0)
-        for gi in range(G):
-            outs[gi] = outs[gi] + jnp.dot(
-                gk[:, gi * Cin:(gi + 1) * Cin], cw[k],
-                preferred_element_type=out_dtype, precision=PRECISION)
+        return [jnp.dot(gk[:, gi * Cin:(gi + 1) * Cin], w_k,
+                        preferred_element_type=out_dtype,
+                        precision=PRECISION) for gi in range(G)]
+
+    init = tuple(jnp.zeros((g.shape[0], Cout), out_dtype) for _ in range(G))
+    if SCAN_TAPS:
+        def body(acc, xs):
+            per_g = one_tap(*xs)
+            return tuple(a + p for a, p in zip(acc, per_g)), None
+        outs, _ = jax.lax.scan(body, init,
+                               (jnp.arange(Kt, dtype=jnp.int32), cw))
+        outs = list(outs)
+    else:
+        outs = list(init)
+        for k in range(Kt):
+            per_g = one_tap(jnp.int32(k), cw[k])
+            outs = [a + p for a, p in zip(outs, per_g)]
     out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(fine_mask[:, None], out, 0)
 

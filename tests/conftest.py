@@ -14,6 +14,10 @@ os.environ["PYTHONPATH"] = ":".join(
 
 os.environ["JAX_PLATFORMS"] = "cpu"   # force: the ambient env says 'axon'
 os.environ["LIDIFF_MATMUL_PRECISION"] = "highest"   # exact f32 vs numpy
+# rolled conv tap loops: same math, ~9-27x smaller HLO. These tests run on
+# a 1-core CPU host where XLA compile time dominates the suite wall clock.
+# (test_sparse_conv exercises the unrolled path explicitly.)
+os.environ.setdefault("LIDIFF_CONV_SCAN", "1")
 
 # The axon sitecustomize (loaded via PYTHONPATH before this conftest) calls
 # jax.config.update("jax_platforms", "axon,cpu"), which outranks the env

@@ -60,3 +60,37 @@ def test_down_kmap_from_pooling_matches_bruteforce():
     ref = G.build_kernel_map(geom, pooled, G.cube_offsets(2, 1))
     fast = G.down_kmap_from_pooling(geom, c2p, pooled.capacity)
     _assert_same_map(fast, ref)
+
+
+def test_scan_taps_matches_unrolled_and_groups():
+    """The rolled (lax.scan) tap-loop mode and the grouped (G=2) execution
+    must both reproduce the unrolled single-group conv exactly."""
+    from lidiff_tpu.ops import sparse_conv as sc
+    rng = np.random.default_rng(5)
+    geom = _grid(5)
+    col_map = G.build_kmap3_columns(geom)
+    C = 8
+    f1 = jnp.asarray(rng.normal(0, 1, (geom.capacity, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(0, 1, (geom.capacity, C)).astype(np.float32))
+    mask = jnp.asarray(geom.mask)
+    f1 = jnp.where(mask[:, None], f1, 0)
+    f2 = jnp.where(mask[:, None], f2, 0)
+    w = jnp.asarray(rng.normal(0, 0.2, (27, C, 5)).astype(np.float32))
+
+    old = sc.SCAN_TAPS
+    try:
+        sc.SCAN_TAPS = False
+        r1 = np.asarray(sc.sparse_conv_columns(f1, col_map, w, mask))
+        r2 = np.asarray(sc.sparse_conv_columns(f2, col_map, w, mask))
+        both_un = np.asarray(sc.sparse_conv_columns(
+            jnp.concatenate([f1, f2], 1), col_map, w, mask, groups=2))
+        sc.SCAN_TAPS = True
+        r1_s = np.asarray(sc.sparse_conv_columns(f1, col_map, w, mask))
+        both_s = np.asarray(sc.sparse_conv_columns(
+            jnp.concatenate([f1, f2], 1), col_map, w, mask, groups=2))
+    finally:
+        sc.SCAN_TAPS = old
+    np.testing.assert_array_equal(r1_s, r1)
+    np.testing.assert_array_equal(both_un[:, :5], r1)
+    np.testing.assert_array_equal(both_un[:, 5:], r2)
+    np.testing.assert_array_equal(both_s, both_un)
