@@ -1,9 +1,12 @@
 """Benchmark: denoise steps/sec/chip on the flagship completion workload.
 
-Measures the full classifier-free denoise step at the reference operating
+Measures the full classifier-free denoise step on the REFERENCE DEMO SCAN
+(/root/reference/lidiff/Datasets/test/000123.ply, the pipeline input of
+README.md:93-99; synthetic fallback when absent) at the reference operating
 point (num_points=180000, res 0.05, 50-step DPM-Solver++(2M,SDE)): per-step
-re-voxelization + two conditional-UNet forwards + solver update, jitted as
-one lax.scan. Prints ONE JSON line.
+re-voxelization + classifier-free conditional-UNet forwards + solver
+update, jitted as chunked lax.scans. Prints ONE JSON line, including model
+FLOPs/step and MFU against the chip's peak.
 
 North star (BASELINE.md): 50-step completion of a full scan < 1 s/chip,
 i.e. >= 50 denoise steps/sec/chip. vs_baseline = steps_per_sec / 50.
@@ -31,6 +34,74 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+REF_SCAN = "/root/reference/lidiff/Datasets/test/000123.ply"
+
+
+def load_scan(n_part: int):
+    """Reference demo scan, preprocessed like DiffCompletion.preprocess_scan
+    (crop 3.5-50 m, FPS to n_part; diff_completion_pipeline.py:92-105).
+    Falls back to a synthetic ring scan when the reference tree is absent."""
+    import numpy as np
+    if os.path.exists(REF_SCAN):
+        from lidiff_tpu.ops.fps import fps
+        from lidiff_tpu.utils.ply import read_ply
+        pts = read_ply(REF_SCAN)["points"].astype(np.float32)
+        d = np.linalg.norm(pts, axis=1)
+        pts = pts[(d > 3.5) & (d < 50.0)]
+        cache = f"/tmp/bench_scan_{n_part}.npy"
+        if os.path.exists(cache):
+            part = np.load(cache)
+        else:
+            part = fps(pts, n_part).astype(np.float32)
+            np.save(cache, part)
+        return part[None], "000123.ply"
+    rng = np.random.default_rng(0)
+    az = rng.uniform(0, 2 * np.pi, n_part)
+    el = rng.choice(np.linspace(-0.4, 0.05, 64), n_part)
+    r = rng.uniform(3.5, 50.0, n_part)
+    part = np.stack([r * np.cos(az) * np.cos(el),
+                     r * np.sin(az) * np.cos(el),
+                     r * np.sin(el)], -1).astype(np.float32)
+    return part[None], "synthetic-rings"
+
+
+def step_flops(full_caps, part_caps, out_dim=96, cr=1.0):
+    """Model FLOPs of ONE classifier-free denoise step (2 denoiser passes +
+    solver; the partial encoder runs once per completion, not per step).
+    Counted from the channel plan (CS, minkunet.py) and static capacities:
+    conv FLOPs = 2 * V_out * taps * Cin * Cout, plus gate/head GEMMs."""
+    cs = [int(cr * c) for c in
+          (32, 32, 64, 128, 256, 256, 128, 96, 96)]
+    V = list(full_caps)
+    f = 0.0
+    # stem: 3->cs0, cs0->cs0 at L0 (27 taps)
+    f += 2 * V[0] * 27 * (3 * cs[0] + cs[0] * cs[0])
+    for i in range(4):      # down stages
+        cin, cout = cs[i], cs[i + 1]
+        f += 2 * V[i + 1] * 8 * cin * cin            # down conv ks=2
+        f += 2 * 2 * V[i + 1] * 27 * cout * cout     # 2 res blocks (2 convs)
+        if cin != cout:
+            f += 2 * V[i + 1] * cin * cout           # shortcut 1x1
+    ups = [(cs[4], cs[5], 3), (cs[5], cs[6], 2), (cs[6], cs[7], 1),
+           (cs[7], cs[8], 0)]
+    for cin, cout, lvl in ups:
+        skip = cs[lvl + 1] if lvl >= 0 else cs[0]
+        f += 2 * V[lvl] * 8 * cin * cout             # transpose conv
+        f += 2 * V[lvl] * 27 * (cout + skip) * cout  # res conv 1 (concat in)
+        f += 2 * V[lvl] * 27 * cout * cout           # res conv 2
+        f += 2 * V[lvl] * (cout + skip) * cout       # shortcut
+    # gates: latent (c4->c4->c4), temp, latemp per stage (9 gates), on V[l]
+    c4 = cs[4]
+    gate_levels = [0, 1, 2, 3, 4, 3, 2, 1, 0]
+    gate_out = [cs[0], cs[1], cs[2], cs[3], cs[4], cs[5], cs[6], cs[7],
+                cs[8]]
+    for lvl, go in zip(gate_levels, gate_out):
+        f += 2 * V[lvl] * (c4 * c4 * 2)              # latent MLP
+        f += 2 * V[lvl] * (2 * c4 * c4 + c4 * go)    # latemp MLP (approx)
+    # per-point head on N points
+    return 2.0 * f        # two denoiser passes per classifier-free step
 
 
 def main():
@@ -62,14 +133,7 @@ def main():
     task = DiffusionTask(cfg)
     solver = make_dpm_solver("linear", 1000, s_steps, 3.5e-5, 0.007)
 
-    # synthetic LiDAR scan: points on concentric rings with elevation bands
-    rng = np.random.default_rng(0)
-    az = rng.uniform(0, 2 * np.pi, n_part)
-    el = rng.choice(np.linspace(-0.4, 0.05, 64), n_part)
-    r = rng.uniform(3.5, 50.0, n_part)
-    part = np.stack([r * np.cos(az) * np.cos(el),
-                     r * np.sin(az) * np.cos(el),
-                     r * np.sin(el)], -1).astype(np.float32)[None]
+    part, scan_src = load_scan(n_part)
     x_init = np.tile(part, (1, 10, 1))
 
     variables = task.init(jax.random.PRNGKey(0), batch_size=1,
@@ -104,6 +168,19 @@ def main():
     elapsed = (time.time() - t0) / reps
 
     steps_per_sec = s_steps / elapsed
+
+    # capacity validation on the real input: any overflow means voxels were
+    # dropped and capacities must be re-derived (scripts/measure_occupancy)
+    key_ov = jax.random.PRNGKey(9)
+    x_noisy = xi + jax.random.normal(key_ov, xi.shape)     # t ~ T regime
+    ov = np.asarray(jax.jit(lambda p: task.pyramid_full(p).overflows())(
+        x_noisy))
+
+    flops = step_flops(cfg["tpu"]["full_capacities"],
+                       cfg["tpu"]["part_capacities"])
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+    mfu = flops * steps_per_sec / peak
+
     result = {
         "metric": "denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
@@ -113,8 +190,12 @@ def main():
             "e2e_completion_latency_s": round(elapsed, 3),
             "num_points": n_points,
             "s_steps": s_steps,
+            "scan": scan_src,
             "compile_plus_first_run_s": round(compile_and_first, 1),
             "device": str(jax.devices()[0]),
+            "model_tflops_per_step": round(flops / 1e12, 3),
+            "mfu": round(mfu, 4),
+            "capacity_overflow_per_level": [int(x) for x in ov],
         },
     }
     print(json.dumps(result))

@@ -94,6 +94,11 @@ class DiffusionTask:
         self.w_uncond = float(cfg["train"]["uncond_w"])
         self.uncond_prob = float(cfg["train"]["uncond_prob"])
         self.reg_weight = float(cfg["diff"]["reg_weight"])
+        # fuse the classifier-free cond/uncond passes into one grouped
+        # forward (exact; see MinkUNetDiff). Measured ~neutral on v5e with
+        # the XLA conv path (gathers are byte-bound there), wins when the
+        # fused Pallas conv makes gathers row-rate-bound.
+        self.fuse_classfree = bool(cfg["tpu"].get("fuse_classfree", False))
 
     # ---------------- geometry ----------------
 
@@ -178,11 +183,20 @@ class DiffusionTask:
         w = self.w_uncond if w_uncond is None else w_uncond
         pyr = self.pyramid_full(points)
         tvec = jnp.full((points.shape[0],), t, jnp.int32)
-        eps = self.model.apply(variables, pyr,
-                               (part_feats_c, part_feats_u),
-                               (part_geom_c, part_geom_u),
-                               tvec, False, method=DiffusionModel.denoise)
-        eps_c, eps_u = eps[..., 0, :], eps[..., 1, :]
+        if self.fuse_classfree:
+            eps = self.model.apply(variables, pyr,
+                                   (part_feats_c, part_feats_u),
+                                   (part_geom_c, part_geom_u),
+                                   tvec, False,
+                                   method=DiffusionModel.denoise)
+            eps_c, eps_u = eps[..., 0, :], eps[..., 1, :]
+        else:
+            eps_c = self.model.apply(variables, pyr, part_feats_c,
+                                     part_geom_c, tvec, False,
+                                     method=DiffusionModel.denoise)
+            eps_u = self.model.apply(variables, pyr, part_feats_u,
+                                     part_geom_u, tvec, False,
+                                     method=DiffusionModel.denoise)
         return eps_u + w * (eps_c - eps_u)
 
     def sample(self, variables, x_init, key, w_uncond: float | None = None,
