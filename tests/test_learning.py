@@ -1,0 +1,79 @@
+"""Learning-signal test: gradients through the whole sparse engine must be
+USEFUL, not merely finite — training on a fixed tiny scene must drive the
+diffusion loss down substantially (a masked-BN or kernel-map bug that only
+degrades learning passes every shape/equivalence test but fails here).
+
+Mirrors the reference training objective (models.py:180-217): predict the
+per-point noise of q-sampled offsets around a fixed scene, conditioned on
+its partial scan.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from lidiff_tpu.config import finalize_config
+from lidiff_tpu.models.diffusion import DiffusionTask
+
+B, NF, NP = 1, 256, 64
+
+
+def _cfg():
+    return finalize_config({
+        "experiment": {"id": "overfit"},
+        "data": {"data_dir": "", "resolution": 0.25, "dataloader": "KITTI",
+                 "split": "train", "train": [], "validation": [],
+                 "test": [], "num_points": NF, "max_range": 50.0,
+                 "dataset_norm": False, "std_axis_norm": False},
+        "train": {"uncond_prob": 0.0, "uncond_w": 6.0, "n_gpus": 1,
+                  "num_workers": 0, "max_epoch": 1, "lr": 2e-3,
+                  "batch_size": B, "decay_lr": 1e-4, "up_factor": 2},
+        "diff": {"beta_start": 3.5e-5, "beta_end": 0.007,
+                 "beta_func": "linear", "t_steps": 1000, "s_steps": 4,
+                 "reg_weight": 0.0},
+        "model": {"out_dim": 96, "cr": 0.5},
+        "tpu": {"full_capacities": [320, 320, 320, 256, 256],
+                "part_capacities": [96, 96, 96, 96, 96], "remat": False},
+    })
+
+
+def test_diffusion_overfits_tiny_scene():
+    task = DiffusionTask(_cfg())
+    rng = np.random.default_rng(3)
+    # a fixed structured scene: two planes
+    n2 = NF // 2
+    xy = rng.uniform(-2, 2, (n2, 2))
+    ground = np.concatenate([xy, np.full((n2, 1), -1.0)], 1)
+    xz = rng.uniform(-2, 2, (n2, 2))
+    wall = np.stack([xz[:, 0], np.full(n2, 1.0), xz[:, 1]], 1)
+    full = np.concatenate([ground, wall]).astype(np.float32)[None]
+    part = full[:, rng.choice(NF, NP, replace=False)]
+    batch = {"pcd_full": jnp.asarray(full), "pcd_part": jnp.asarray(part)}
+
+    variables = task.init(jax.random.PRNGKey(0), batch_size=B, n_full=NF,
+                          n_part=NP)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, key):
+        (loss, (stats, metrics)), grads = jax.value_and_grad(
+            task.loss_fn, has_aux=True)(params, stats, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(250):
+        key, k = jax.random.split(key)
+        params, stats, opt_state, loss = step(params, stats, opt_state, k)
+        losses.append(float(loss))
+    first = float(np.mean(losses[:10]))
+    last = float(np.mean(losses[-10:]))
+    assert np.isfinite(losses).all()
+    # the noise-prediction MSE starts near 1.0 (unit noise); learning the
+    # scene's local structure must cut it decisively
+    assert last < 0.5 * first, (first, last)
