@@ -222,29 +222,21 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     cf = coarse_feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
     ok = (parent_idx < Vc) & fine_mask
-    g = cf[jnp.minimum(parent_idx, Vc - 1)]
-    g = jnp.where(ok[:, None], g, 0)
 
-    def one_tap(k, w_k):
-        sel = (tap == k) & ok
-        gk = jnp.where(sel[:, None], g, 0)
-        return [jnp.dot(gk[:, gi * Cin:(gi + 1) * Cin], w_k,
-                        preferred_element_type=out_dtype,
-                        precision=PRECISION) for gi in range(G)]
-
-    init = tuple(jnp.zeros((g.shape[0], Cout), out_dtype) for _ in range(G))
-    if SCAN_TAPS:
-        def body(acc, xs):
-            per_g = one_tap(*xs)
-            return tuple(a + p for a, p in zip(acc, per_g)), None
-        outs, _ = jax.lax.scan(body, init,
-                               (jnp.arange(Kt, dtype=jnp.int32), cw))
-        outs = list(outs)
-    else:
-        outs = list(init)
-        for k in range(Kt):
-            per_g = one_tap(jnp.int32(k), cw[k])
-            outs = [a + p for a, p in zip(outs, per_g)]
+    # every fine voxel reads exactly ONE (parent, tap) product, so compute
+    # all K products per coarse voxel in a single clean GEMM and fetch with
+    # one narrow row-gather of Y.reshape(Vc*K, Cout)[parent*K + tap] —
+    # instead of K per-tap masked GEMMs over the FULL fine set (K-fold
+    # wasted MXU work plus K masked [V_f, Cin] copies of HBM traffic).
+    w_all = jnp.transpose(cw, (1, 0, 2)).reshape(Cin, Kt * Cout)
+    rows = jnp.minimum(parent_idx, Vc - 1) * Kt + tap
+    outs = []
+    for gi in range(G):
+        y = jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
+                    preferred_element_type=out_dtype,
+                    precision=PRECISION)                  # [Vc, K*Cout]
+        o = y.reshape(Vc * Kt, Cout)[rows]
+        outs.append(jnp.where(ok[:, None], o, 0))
     out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
     return jnp.where(fine_mask[:, None], out, 0)
 

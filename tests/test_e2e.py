@@ -96,3 +96,32 @@ def test_checkpoint_roundtrip(ckpts):
     assert "params" in state and "batch_stats" in state
     h = cm.load_hparams()
     assert h["diff"]["t_steps"] == 100
+
+
+REF_SCAN = "/root/reference/lidiff/Datasets/test/000123.ply"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SCAN),
+                    reason="reference demo scan not present")
+def test_pipeline_on_real_scan(ckpts):
+    """The reference demo path (README.md:93-99): complete the bundled real
+    SemanticKITTI scan end to end — real voxel-occupancy statistics exercise
+    the static capacities and kernel maps in ways synthetic rings do not."""
+    from lidiff_tpu.tools.diff_completion_pipeline import DiffCompletion
+    scan = ply.read_ply(REF_SCAN)["points"].astype(np.float32)
+    # subsample the raw scan to keep the CPU test quick; the pipeline's own
+    # preprocess re-crops and FPS-samples to num_points/10
+    rng = np.random.default_rng(0)
+    scan = scan[rng.choice(len(scan), 20000, replace=False)]
+    dc = DiffCompletion(os.path.join(ckpts, "diff_net"),
+                        os.path.join(ckpts, "refine_net"),
+                        denoising_steps=2, cond_weight=6.0)
+    refined, diff_scan = dc.complete_scan(scan)
+    assert np.isfinite(refined).all() and np.isfinite(diff_scan).all()
+    # completion must stay within the crop radius vicinity
+    assert float(np.linalg.norm(diff_scan, axis=1).max()) < 60.0
+    # capacity check on real data: no level may overflow
+    import jax.numpy as jnp
+    pre = dc.preprocess_scan(scan)
+    ov = np.asarray(dc.task.pyramid_full(jnp.asarray(pre)).overflows())
+    assert (ov == 0).all(), ov
