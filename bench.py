@@ -20,6 +20,10 @@ import sys
 import time
 
 os.environ.setdefault("LIDIFF_MATMUL_PRECISION", "default")  # MXU fast path
+# bf16 conv compute: halves gather/window HBM traffic and runs the fused
+# Pallas conv's selector GEMMs at full MXU rate; parity with f32 is
+# covered by tests/test_models.py::test_bf16_compute_path_close_to_f32
+os.environ.setdefault("LIDIFF_COMPUTE_DTYPE", "bfloat16")
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,220 @@
+"""Fused Pallas TPU kernel for the 27-tap column sparse convolution.
+
+This is the hot op of the denoiser (the conv engine replacing
+MinkowskiEngine's generalized sparse conv, reference
+/root/reference/lidiff/models/minkunet.py:13-76).  The XLA path
+(`ops.sparse_conv.sparse_conv_columns`) lowers to HBM row-gathers plus
+separate select / GEMM passes; a device trace at the 180k-point operating
+point shows that path moving ~270 GB of HBM traffic per denoiser forward
+(gather fusions at ~29% of peak bandwidth, GEMMs re-reading gathered slabs).
+
+The kernel exploits the column kernel map's key property: voxel keys are
+lexicographically sorted, so each of the 9 (dx, dy) columns' slab base
+indices are MONOTONE in the output index.  The grid is (output tiles,
+9 columns), columns innermost; each step:
+
+  1. streams `nblk` consecutive T-row blocks of `feats` for (tile, column)
+     into VMEM (contiguous DMA at full HBM bandwidth, double-buffered by
+     pallas; window start = per-tile-per-column block index from a cheap
+     XLA prolog, fed through scalar prefetch into the index maps);
+  2. "gathers" the column's three z-tap rows per output with ONE stacked
+     one-hot matmul on the MXU: sel[3T, nblk*T] rows are one-hot at the
+     z-tap target rows — an EXACT row pick (one-hot selection incurs no
+     rounding in any dtype); misses aim at row -1 and contribute zero;
+  3. accumulates slab [T, 3C] @ W[col] [3C, Co] into the output tile,
+     which stays VMEM-resident across the 9 column steps (out block index
+     depends only on the tile, and the column dimension is innermost).
+
+Per-conv HBM traffic drops to 9*nblk*V*C window bytes + V*Co output bytes —
+no gathered slab or select intermediate ever touches HBM.  The tap weights
+[9, 3C, Co] are VMEM-resident for the whole call (constant index map).
+
+Rows that would fall outside the nblk-block window fail the one-hot
+comparison and contribute zero (a dropped tap, never garbage).  The prolog
+counts such rows (`overflow`); with the default T=128 / nblk=4 the count is
+zero with a wide margin on all measured real-scan pyramids (max window
+offset < 2.8 T).  `bench.py` checks it like capacity overflow.
+
+`groups` runs G independent feature sets [V, G*C] over the same geometry
+with shared weights (the fused classifier-free execution of reference
+models.py:98-103): the one-hot selectors are built ONCE per column and
+reused by every group, so the marginal cost of the second stream is only
+its window DMA and GEMM — cheaper than a second forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128          # output rows per grid step
+DEFAULT_NBLK = 4    # window blocks per column (covers offsets < nblk*T)
+
+
+def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int):
+    """Kernel body for one output tile: all 9 columns unrolled."""
+
+    def kernel(blk_ref, col_ref, hit_ref, w_ref, mask_ref, *rest):
+        wnd_refs = rest[:9 * nblk]
+        o_ref = rest[9 * nblk]
+        i = pl.program_id(0)
+        dt = wnd_refs[0].dtype
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, nblk * T), 1)
+        accs = [jnp.zeros((T, Co), jnp.float32) for _ in range(G)]
+        for j in range(9):
+            lo = blk_ref[i, j] * T
+            r0 = col_ref[0, j, 0, :] - lo                # [T]
+            m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
+            m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
+            m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
+            r1 = r0 + m0
+            r2 = r1 + m1
+            # one one-hot selector per z-tap; misses aim at row -1 -> no
+            # iota match -> exactly zero contribution. Built in f32
+            # (layout-compatible with the 32-bit compare) then cast; 0/1
+            # values cast exactly, so the row pick stays exact.
+            sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
+                              jnp.float32(1), jnp.float32(0)).astype(dt)
+                    for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+            gz = []
+            for sel in sels:
+                g = jnp.zeros((T, G * C), jnp.float32)
+                for b in range(nblk):
+                    g = g + jnp.dot(sel[:, b * T:(b + 1) * T],
+                                    wnd_refs[j * nblk + b][:],
+                                    preferred_element_type=jnp.float32)
+                gz.append(g)
+            w3 = w_ref[j]                                # [3C, Co]
+            for gi in range(G):
+                sl = slice(gi * C, (gi + 1) * C)
+                slab = jnp.concatenate(
+                    [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
+                    axis=1).astype(dt)                   # [T, 3C]
+                accs[gi] = accs[gi] + jnp.dot(
+                    slab, w3, preferred_element_type=jnp.float32)
+        acc = accs[0] if G == 1 else jnp.concatenate(accs, axis=1)
+        keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
+        o_ref[:] = jnp.where(keep, acc, 0).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "nblk", "interpret",
+                                    "out_dtype", "tile"))
+def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
+                        hit: jnp.ndarray, weights: jnp.ndarray,
+                        out_mask: jnp.ndarray, *, groups: int = 1,
+                        nblk: int = DEFAULT_NBLK, interpret: bool = False,
+                        out_dtype=None, tile: int | None = None):
+    """27-tap column conv, fused gather->GEMM in one Pallas kernel.
+
+    Args:
+      feats: [V, G*C] input voxel features (padding rows zero), group-major.
+      col_idx: [V, 9] int32 monotone slab base indices (ColumnKernelMap).
+      hit: [V, 27] bool tap hits.
+      weights: [27, Cin, Cout] tap weights (cube_offsets order), shared
+        across groups.
+      out_mask: [V] bool output validity.
+      groups: number of independent feature streams G.
+      nblk: DMA window size in T-row blocks.
+      interpret: run in pallas interpret mode (CPU testing).
+      out_dtype: output dtype (default: feats.dtype). The accumulation
+        across columns happens in this dtype's storage with f32 adds.
+
+    Returns:
+      (out [V, G*Cout] in out_dtype, overflow [] int32 — number of
+       (output, tap) pairs whose row fell outside the DMA window; 0 on all
+       measured real operating points, dropped taps otherwise.)
+    """
+    V, CG = feats.shape
+    Kt, C, Co = weights.shape
+    G = groups
+    assert Kt == 27 and CG == G * C
+
+    # big input widths: split C into even <=128-wide parts (the conv is
+    # linear in its input channels, so the parts sum exactly) — keeps the
+    # resident weight tensor and in-kernel temporaries inside the 16 MB
+    # VMEM budget. Even one-level split: the C-independent per-call costs
+    # (selector build, window DMA issue) scale with the part count.
+    if C > 128:
+        n_parts = -(-C // 128)
+        h = (-(-C // n_parts) + 7) & ~7
+        f3 = feats.reshape(V, G, C)
+        acc = None
+        ov1 = None
+        for p in range(n_parts):
+            a, b = p * h, min((p + 1) * h, C)
+            out_p, ov_p = conv_columns_pallas(
+                f3[:, :, a:b].reshape(V, G * (b - a)), col_idx, hit,
+                weights[:, a:b, :], out_mask, groups=G, nblk=nblk,
+                interpret=interpret, out_dtype=jnp.float32, tile=tile)
+            acc = out_p if acc is None else acc + out_p
+            ov1 = ov_p if ov1 is None else ov1
+        odt = feats.dtype if out_dtype is None else out_dtype
+        return acc.astype(odt), ov1
+
+    T = TILE if tile is None else tile
+    nt = max(pl.cdiv(V, T), nblk)   # the window needs nblk blocks to exist
+    Vp = nt * T
+    dt = feats.dtype
+    odt = dt if out_dtype is None else out_dtype
+
+    fp = jnp.pad(feats, ((0, Vp - V), (0, 0)))
+    ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
+    ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
+    om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
+
+    # prolog: per-tile per-column window block index (clamped so the nblk
+    # window blocks stay inside the padded array), plus overflow count
+    first = ci[::T]                                          # [nt, 9]
+    blk = jnp.clip(first // T, 0, nt - nblk).astype(jnp.int32)
+    rel = ci.reshape(nt, T, 9) - (blk[:, None, :] * T)
+    # +2: the z0/z+1 taps read up to 2 rows past the slab base
+    oob = (rel + 2 >= nblk * T) | (rel < 0)
+    overflow = jnp.sum(
+        (oob & ht.reshape(nt, T, 27)[:, :, 0::3].astype(bool)).astype(
+            jnp.int32))
+
+    col_r = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
+             .reshape(nt, 9, 1, T))                          # [nt,9,1,T]
+    hit_r = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)    # [nt,9,3,T]
+    mask_r = om.reshape(nt, 1, T)
+    w3 = weights.astype(dt).reshape(9, 3 * C, Co)
+
+    kernel = _make_kernel(T, C, Co, G, nblk)
+
+    in_specs = [
+        pl.BlockSpec((1, 9, 1, T), lambda i, blk_ref: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 9, 3, T), lambda i, blk_ref: (i, 0, 0, 0)),
+        # whole weight tensor VMEM-resident (constant index -> one DMA)
+        pl.BlockSpec((9, 3 * C, Co), lambda i, blk_ref: (0, 0, 0)),
+        pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),
+    ]
+
+    def _wnd_index_map(j, b):
+        def index_map(i, blk_ref):
+            return (blk_ref[i, j] + b, 0)
+        return index_map
+
+    for j in range(9):
+        for b in range(nblk):
+            in_specs.append(pl.BlockSpec((T, CG), _wnd_index_map(j, b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, G * Co), lambda i, blk_ref: (i, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Vp, G * Co), odt),
+        interpret=interpret,
+    )(blk, col_r, hit_r, w3, mask_r, *([fp] * (9 * nblk)))
+    return out[:V], overflow

@@ -42,6 +42,25 @@ COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
 # columns.
 SCAN_TAPS = os.environ.get("LIDIFF_CONV_SCAN", "0").lower() in ("1", "true")
 
+# Fused Pallas kernel for the 27-tap column convs (ops/pallas_conv.py):
+# streams per-column VMEM windows and does the gather as exact one-hot
+# matmuls on the MXU, cutting the conv's HBM traffic ~5x. TPU only (the
+# interpret path is far too slow for CPU tests); default on, switchable
+# per-process for A/B timing.
+USE_PALLAS = os.environ.get("LIDIFF_PALLAS", "1").lower() in ("1", "true")
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def set_use_pallas(flag: bool) -> None:
+    global USE_PALLAS
+    USE_PALLAS = bool(flag)
+
 
 def set_precision(name: str) -> None:
     global PRECISION
@@ -83,6 +102,13 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     out_dtype = feats.dtype
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
+
+    if USE_PALLAS and _on_tpu():
+        from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
+        out, _ = conv_columns_pallas(cf, kmap.col_idx, kmap.hit, cw,
+                                     out_mask, groups=G,
+                                     out_dtype=out_dtype)
+        return out
 
     # TPU gathers are row-RATE-bound, not byte-bound. Build a 3-row windowed
     # view once (sequential writes at full HBM bandwidth), then each column

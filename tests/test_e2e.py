@@ -16,6 +16,8 @@ from lidiff_tpu.train.trainer import CheckpointManager
 from lidiff_tpu.utils import ply
 from tests.helpers import make_kitti_tree
 
+pytestmark = pytest.mark.slow
+
 NF, NP = 1000, 100
 
 

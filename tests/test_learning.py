@@ -17,6 +17,8 @@ import pytest
 from lidiff_tpu.config import finalize_config
 from lidiff_tpu.models.diffusion import DiffusionTask
 
+pytestmark = pytest.mark.slow
+
 B, NF, NP = 1, 256, 64
 
 

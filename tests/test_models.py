@@ -83,6 +83,7 @@ def test_loss_and_grads(task, variables):
     assert total > 0
 
 
+@pytest.mark.slow
 def test_sample_loop_runs(task, variables):
     rng = np.random.default_rng(2)
     part = jnp.asarray(rng.normal(0, 3, (1, NP, 3)).astype(np.float32))
@@ -94,6 +95,7 @@ def test_sample_loop_runs(task, variables):
     assert float(jnp.abs(out - x_init).max()) < 50.0
 
 
+@pytest.mark.slow
 def test_chunked_sampler_matches_scan(task, variables):
     """Chunked sampling must reproduce the single-scan loop exactly (same
     RNG split sequence), for chunk sizes that divide and exceed s_steps."""
@@ -109,6 +111,7 @@ def test_chunked_sampler_matches_scan(task, variables):
                                    err_msg=f"chunk={chunk}")
 
 
+@pytest.mark.slow
 def test_grouped_classfree_matches_two_passes(task, variables):
     """The fused cond/uncond grouped forward must reproduce two separate
     denoiser passes exactly (same params, same geometry, per-group GEMM

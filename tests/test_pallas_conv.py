@@ -1,0 +1,127 @@
+"""Exact-equivalence tests for the fused Pallas column conv
+(ops/pallas_conv.py) against the XLA reference path
+(ops/sparse_conv.sparse_conv_columns), in pallas interpret mode on CPU.
+
+The kernel replaces the conv engine of the denoiser hot path (reference
+/root/reference/lidiff/models/minkunet.py:13-76 conv blocks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidiff_tpu.ops import sparse_conv as sc
+from lidiff_tpu.ops.grid import build_pyramid
+from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
+
+
+@pytest.fixture(scope="module")
+def pyramid():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 4, (1, 4000, 3)).astype(np.float32)
+    caps = [3000, 2000, 1200, 800, 600]
+    return jax.jit(lambda p: build_pyramid(p, 0.25, caps, 5))(
+        jnp.asarray(pts))
+
+
+@pytest.mark.parametrize("lv", [0, 2, 4])
+def test_matches_xla_exactly(pyramid, lv):
+    rng = np.random.default_rng(lv)
+    L = pyramid.levels[lv]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    ref = sc.sparse_conv_columns(jnp.asarray(feats), L.kmap3,
+                                 jnp.asarray(w), L.geom.mask)
+    got, ov = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                  L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                  interpret=True)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_grouped_matches_per_group(pyramid):
+    """G=2 fused streams == two independent G=1 calls (classifier-free
+    fusion, reference models.py:98-103)."""
+    rng = np.random.default_rng(7)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co, G = 8, 16, 2
+    feats = rng.normal(0, 1, (V, G * C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    got, ov = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                  L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                  groups=G, interpret=True)
+    assert int(ov) == 0
+    for g in range(G):
+        solo, _ = conv_columns_pallas(
+            jnp.asarray(feats[:, g * C:(g + 1) * C]), L.kmap3.col_idx,
+            L.kmap3.hit, jnp.asarray(w), L.geom.mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[:, g * Co:(g + 1) * Co]),
+                                   np.asarray(solo), rtol=0, atol=1e-5)
+
+
+def test_window_overflow_drops_taps_not_garbage(pyramid):
+    """With an artificially tiny window (nblk=1... impossible spans), rows
+    outside the window must be counted in `overflow` and contribute
+    exactly zero — never garbage."""
+    rng = np.random.default_rng(3)
+    L = pyramid.levels[0]
+    V = L.geom.capacity
+    C, Co = 8, 8
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    got, ov = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                  L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                  nblk=1, interpret=True)
+    assert int(ov) > 0          # the tiny window must actually overflow
+    # oracle: XLA conv with the out-of-window taps masked out of the kmap,
+    # per z-tap (the kernel drops exactly the taps whose own window row
+    # falls outside [0, nblk*T))
+    T = 128
+    nt = max(-(-V // T), 1)
+    ci = np.asarray(L.kmap3.col_idx)
+    hit = np.asarray(L.kmap3.hit).copy()
+    ci_p = np.pad(ci, ((0, nt * T - V), (0, 0)))
+    blk = np.clip(ci_p[::T] // T, 0, nt - 1)
+    rel = (ci_p.reshape(nt, T, 9) -
+           blk[:, None, :] * T).reshape(nt * T, 9)[:V]    # [V, 9]
+    for j in range(9):
+        m0 = hit[:, 3 * j].astype(np.int64)
+        m1 = hit[:, 3 * j + 1].astype(np.int64)
+        rows = np.stack([rel[:, j], rel[:, j] + m0,
+                         rel[:, j] + m0 + m1], axis=1)    # [V, 3]
+        inside = (rows >= 0) & (rows < T)
+        hit[:, 3 * j:3 * j + 3] &= inside
+    from lidiff_tpu.ops.grid import ColumnKernelMap
+    kmap_masked = ColumnKernelMap(col_idx=L.kmap3.col_idx,
+                                  hit=jnp.asarray(hit))
+    ref = sc.sparse_conv_columns(jnp.asarray(feats), kmap_masked,
+                                 jnp.asarray(w), L.geom.mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_big_c_split_matches_xla(pyramid):
+    """C > 256 triggers the exact channel-split path (U0's 384-wide concat
+    conv, reference minkunet.py:283-310)."""
+    rng = np.random.default_rng(11)
+    L = pyramid.levels[3]
+    V = L.geom.capacity
+    C, Co = 272, 16     # > 256 forces the split; non-multiple-of-16 half
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    ref = sc.sparse_conv_columns(jnp.asarray(feats), L.kmap3,
+                                 jnp.asarray(w), L.geom.mask)
+    got, ov = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                  L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                  interpret=True)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)

@@ -8,6 +8,8 @@ import pytest
 
 from lidiff_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8

@@ -15,6 +15,8 @@ from lidiff_tpu.parallel import mesh as pmesh
 from lidiff_tpu.train.trainer import Trainer
 from tests.helpers import make_kitti_tree
 
+pytestmark = pytest.mark.slow
+
 NF = 512
 
 
