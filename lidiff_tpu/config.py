@@ -39,21 +39,43 @@ def _round8(x: int) -> int:
 # the 50-step sampling trajectory on the reference demo scan
 # (scripts/measure_occupancy.py; /root/reference/lidiff/Datasets/test/
 # 000123.ply, crop+FPS+10x tile per diff_completion_pipeline.py:92-105):
-#   noisy full cloud : [0.999, 0.990, 0.929, 0.641, 0.226]
+#   noisy full cloud : [0.999, 0.990, 0.929, 0.641, 0.226]   (180k points)
 #   clean partial    : [1.000, 1.000, 0.995, 0.712, 0.324]
 # With ~1 m point-local noise at t~T, stride-2/4 levels barely merge voxels,
 # so the old shrink-2.0 defaults silently dropped 50-80% of coarse voxels
-# (spatially biased — the highest lexicographic keys go first).  Defaults
-# below cover both regimes with margin.
-DEFAULT_FRACTIONS = (1.0, 1.0, 1.0, 0.8, 0.4)
+# (spatially biased — the highest lexicographic keys go first).
+#
+# Coarse-level fractions are SCALE-DEPENDENT: fewer points over the same
+# 50 m crop merge even less (measured at 20k points on the same scan:
+# L3 ~0.97, L4 ~0.64 — the 180k fractions overflowed there). The table maps
+# point-count regimes to safe fractions; interpolating at the measured
+# operating points with margin.
+_FRACTION_TABLE = (
+    (50_000, (1.0, 1.0, 1.0, 1.0, 0.75)),
+    (120_000, (1.0, 1.0, 1.0, 0.95, 0.55)),
+    (10 ** 12, (1.0, 1.0, 1.0, 0.8, 0.4)),
+)
+DEFAULT_FRACTIONS = _FRACTION_TABLE[-1][1]
+
+# The partial scan is CLEAN (never noised: it conditions the diffusion,
+# reference models.py:192-200), so its coarse levels merge far more than
+# the noisy full cloud's: measured clean occupancy at 18k points is
+# [1.0, 1.0, 0.995, 0.712, 0.324]. Its bank size directly scales the
+# per-stage 1-NN match cost (ops/knn.py), so tight caps matter.
+_PART_FRACTIONS = (1.0, 1.0, 1.0, 0.82, 0.45)
 
 
 def derive_capacities(num_points: int, fractions=None,
-                      num_levels: int = 5) -> list[int]:
+                      num_levels: int = 5, clean: bool = False) -> list[int]:
     """Static voxel capacities per pyramid level, as measured-occupancy
-    fractions of the point count (see DEFAULT_FRACTIONS)."""
+    fractions of the point count (see _FRACTION_TABLE; `clean` selects the
+    un-noised partial-scan table)."""
     if fractions is None:
-        fractions = DEFAULT_FRACTIONS
+        if clean:
+            fractions = _PART_FRACTIONS
+        else:
+            fractions = next(f for lim, f in _FRACTION_TABLE
+                             if num_points <= lim)
     fractions = list(fractions) + [fractions[-1]] * num_levels
     return [_round8(max(int(num_points * fractions[i]), 1024))
             for i in range(num_levels)]
@@ -90,7 +112,7 @@ def finalize_config(cfg: dict) -> Cfg:
     if tpu["part_capacities"] is None:
         tpu["part_capacities"] = derive_capacities(
             max(n // 10, 1024), tpu["capacity_fractions"],
-            tpu["num_levels"])
+            tpu["num_levels"], clean=True)
     cfg["tpu"] = tpu
     return Cfg(cfg)
 

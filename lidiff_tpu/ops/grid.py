@@ -398,9 +398,19 @@ def build_pyramid(points: jnp.ndarray, resolution: float,
         geoms.append(g)
         c2ps.append(c2p)
 
+    # TPU: build the column maps with the windowed-compare Pallas kernel —
+    # the search-based builder's per-probe [V]-row gathers dominate the
+    # whole sampling step on TPU (see ops/pallas_kmap.py)
+    from lidiff_tpu.ops import sparse_conv as _sc
+    if _sc.USE_PALLAS and _sc._on_tpu():
+        from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
+        _kmap3 = build_kmap3_columns_pallas
+    else:
+        _kmap3 = build_kmap3_columns
+
     levels = []
     for li, g in enumerate(geoms):
-        kmap3 = build_kmap3_columns(g)
+        kmap3 = _kmap3(g)
         if li + 1 < num_levels:
             coarse = geoms[li + 1]
             # down conv: output = coarse voxels, taps {0, s_fine}^3 into

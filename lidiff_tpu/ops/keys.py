@@ -22,9 +22,16 @@ vectorized binary search over the sorted (hi, lo) pair.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Rolled binary-search probes (same knob as the conv tap loops,
+# ops/sparse_conv.py): small HLO for compile-bound CPU runs, unrolled for
+# TPU execution speed.
+ROLLED_SEARCH = os.environ.get(
+    "LIDIFF_CONV_SCAN", "0").lower() in ("1", "true")
 
 COORD_BITS = 12
 COORD_SPAN = 1 << COORD_BITS          # 4096
@@ -85,11 +92,6 @@ def searchsorted_pair(hi_arr: jnp.ndarray, lo_arr: jnp.ndarray,
     lo_b = jnp.zeros(q_hi.shape, dtype=jnp.int32)
     hi_b = jnp.full(q_hi.shape, n, dtype=jnp.int32)
 
-    # fori_loop, not an unrolled python loop: the ~18 probe rounds are
-    # inherently sequential (no fusion lost) and the rolled form keeps the
-    # HLO ~18x smaller — kernel-map building emits dozens of these searches
-    # and the unrolled variant dominated CPU compile time (the round-1
-    # multichip dryrun timed out compiling).
     def probe(_, carry):
         lo_b, hi_b = carry
         mid = (lo_b + hi_b) >> 1
@@ -98,7 +100,19 @@ def searchsorted_pair(hi_arr: jnp.ndarray, lo_arr: jnp.ndarray,
         less = pair_less(mh, ml, q_hi, q_lo)
         return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
 
-    lo_b, hi_b = jax.lax.fori_loop(0, steps, probe, (lo_b, hi_b))
+    if ROLLED_SEARCH:
+        # rolled fori_loop: ~18x smaller HLO; used where COMPILE time
+        # dominates (CPU tests, the multichip dryrun — round 1's dryrun
+        # timed out compiling the unrolled form). On TPU the rolled loop
+        # executes its per-round gathers ~2 orders of magnitude slower
+        # (measured 4.4 s/step of while-loops in the sampling scan), so
+        # the unrolled python loop is the execution default.
+        lo_b, hi_b = jax.lax.fori_loop(0, steps, probe, (lo_b, hi_b))
+    else:
+        carry = (lo_b, hi_b)
+        for _ in range(steps):
+            carry = probe(0, carry)
+        lo_b, hi_b = carry
     idx = jnp.clip(lo_b, 0, n - 1)
     found = (hi_arr[idx] == q_hi) & (lo_arr[idx] == q_lo)
     return idx, found

@@ -31,6 +31,11 @@ def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
       [Vq] int32 indices into the reference arrays (arbitrary for invalid
       queries; callers mask downstream).
     """
+    from lidiff_tpu.ops import sparse_conv as sc
+    if sc.USE_PALLAS and sc._on_tpu():
+        from lidiff_tpu.ops.pallas_knn import nn_match_idx_pallas
+        return nn_match_idx_pallas(q_coords, q_mask, r_coords, r_mask)
+
     Vq = q_coords.shape[0]
     nb = -(-Vq // block)
     pad = nb * block - Vq

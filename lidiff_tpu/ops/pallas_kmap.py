@@ -1,0 +1,176 @@
+"""Fused Pallas TPU kernel for building the 27-tap column kernel map.
+
+Replaces the gather-based binary searches of
+`ops.grid.build_kmap3_columns` on TPU.  Device traces of the sampling step
+showed the searches dominating the whole pipeline: 45 searches x ~18
+probe rounds x [V]-row gathers per re-voxelization = ~100M randomly
+gathered rows per step, at the TPU's row-rate-bound gather throughput
+(~2 s/step at the 180k-point operating point — more than both denoiser
+forwards combined).
+
+The kernel uses the same monotonicity property as the fused conv
+(ops/pallas_conv.py): for a tile of T consecutive output voxels, each
+column's lower bounds live in a narrow contiguous key window.  A cheap
+XLA prolog finds each (tile, column) window anchor by binary search over
+just the tile-FIRST queries (nt*9 rows instead of V*9); the kernel then
+streams the key windows into VMEM and resolves all T queries of the tile
+with vectorized lexicographic compares:
+
+    lower_bound(q) = window_start + sum_s [ w[s] < q ]
+    m0/m1/m2       = any_s [ w[s] == q_ztap ]
+
+— counting and membership over a [W, T] compare tile (window rows on
+sublanes so the reductions run on the cheap axis), zero gathers anywhere.
+
+Exactness: identical outputs to build_kmap3_columns (same lower-bound
+clamping, same conservative q_valid masking of all three z-taps, same
+"no intermediate key between stride-aligned z neighbors" invariant).
+Queries whose true lower bound falls outside the window produce hit=0
+(never garbage) and are counted by the separate conv-window overflow
+check; the windows here have the same spans as the conv's, covered by
+nblk blocks with margin on all measured scans.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lidiff_tpu.ops import keys as K
+from lidiff_tpu.ops.grid import ColumnKernelMap, VoxelGeom
+
+TILE = 128
+NBLK = 4
+_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _make_kernel(T: int, nblk: int, s: int):
+    W = nblk * T
+    SPAN = K.COORD_SPAN          # 4096 field span
+
+    def kernel(blk_ref, keys_ref, mask_ref, *rest):
+        wnd_refs = rest[:9 * nblk]
+        col_ref = rest[9 * nblk]
+        hit_ref = rest[9 * nblk + 1]
+        i = pl.program_id(0)
+        kh = keys_ref[0, 0, :]                        # [T]
+        kl = keys_ref[0, 1, :]
+        msk = mask_ref[0, 0, :].astype(jnp.int32)
+        # coordinate fields (all non-negative by key construction)
+        xf = kh % SPAN
+        yf = kl // SPAN
+        zf = kl % SPAN
+
+        for j, (dx, dy) in enumerate(_OFFS):
+            qh = kh + dx * s
+            ql = kl + dy * s * SPAN - s
+            okx = ((xf + dx * s) >= 0) & ((xf + dx * s) < SPAN)
+            oky = ((yf + dy * s) >= 0) & ((yf + dy * s) < SPAN)
+            okz = (zf - s) >= 0
+            ok = (msk != 0) & okx & oky & okz          # [T] i1
+
+            qhr = qh[None, :]                          # [1, T]
+            qlr = ql[None, :]
+            lb_rel = jnp.zeros((T,), jnp.int32)
+            m0 = jnp.zeros((T,), jnp.int32)
+            m1 = jnp.zeros((T,), jnp.int32)
+            m2 = jnp.zeros((T,), jnp.int32)
+            # per window block: [T_w, T] lexicographic compares, reduced
+            # over the (cheap) sublane axis and accumulated across blocks
+            for b in range(nblk):
+                whc = wnd_refs[j * nblk + b][0, :, 0:1]          # [T_w, 1]
+                wlc = wnd_refs[j * nblk + b][0, :, 1:2]
+                less = (whc < qhr) | ((whc == qhr) & (wlc < qlr))
+                lb_rel = lb_rel + jnp.sum(less.astype(jnp.int32), axis=0)
+                same_h = whc == qhr
+                m0 = jnp.maximum(m0, jnp.max(
+                    (same_h & (wlc == qlr)).astype(jnp.int32), axis=0))
+                m1 = jnp.maximum(m1, jnp.max(
+                    (same_h & (wlc == qlr + s)).astype(jnp.int32), axis=0))
+                m2 = jnp.maximum(m2, jnp.max(
+                    (same_h & (wlc == qlr + 2 * s)).astype(jnp.int32),
+                    axis=0))
+            oki = ok.astype(jnp.int32)
+            col_ref[0, j, :] = blk_ref[i, j] * T + lb_rel
+            hit_ref[0, 3 * j + 0, :] = m0 * oki
+            hit_ref[0, 3 * j + 1, :] = m1 * oki
+            hit_ref[0, 3 * j + 2, :] = m2 * oki
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_kmap3_columns_pallas(geom: VoxelGeom,
+                               *, interpret: bool = False
+                               ) -> ColumnKernelMap:
+    """Drop-in TPU replacement for ops.grid.build_kmap3_columns."""
+    s = geom.stride
+    V = geom.capacity
+    T = TILE
+    nblk = NBLK
+    nt = max(pl.cdiv(V, T), nblk)
+    Vp = nt * T
+
+    hi = jnp.pad(geom.key_hi, (0, Vp - V), constant_values=K.HI_PAD)
+    lo = jnp.pad(geom.key_lo, (0, Vp - V), constant_values=K.LO_PAD)
+    mask = jnp.pad(geom.mask.astype(jnp.int8), (0, Vp - V))
+    keys2 = jnp.stack([hi, lo], axis=0).reshape(2, nt, T).transpose(
+        1, 0, 2)                                       # [nt, 2, T] (lanes)
+    # windows use a sublane-major copy so the [T_w, T] compare tiles need
+    # no in-kernel transposes
+    keys_wnd = jnp.stack([hi, lo], axis=1).reshape(nt, T, 2)
+
+    # prolog: anchor lower bound for each (tile, column) via binary search
+    # over only the tile-first queries (nt*9 rows — negligible)
+    first_h = hi[::T]                                  # [nt]
+    first_l = lo[::T]
+    anchors = []
+    for dx, dy in _OFFS:
+        qh = first_h + dx * s
+        ql = first_l + dy * s * K.COORD_SPAN - s
+        p, _ = K.searchsorted_pair(hi, lo, qh, ql)
+        anchors.append(p)
+    blk = jnp.clip(jnp.stack(anchors, 1) // T, 0, nt - nblk).astype(
+        jnp.int32)                                     # [nt, 9]
+
+    kernel = _make_kernel(T, nblk, s)
+    in_specs = [
+        pl.BlockSpec((1, 2, T), lambda i, blk_ref: (i, 0, 0)),   # tile keys
+        pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),   # mask
+    ]
+
+    def _wnd_index_map(j, b):
+        def index_map(i, blk_ref):
+            return (blk_ref[i, j] + b, 0, 0)
+        return index_map
+
+    for j in range(9):
+        for b in range(nblk):
+            in_specs.append(pl.BlockSpec((1, T, 2), _wnd_index_map(j, b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 9, T), lambda i, blk_ref: (i, 0, 0)),
+            pl.BlockSpec((1, 27, T), lambda i, blk_ref: (i, 0, 0)),
+        ],
+    )
+    mask3 = mask.reshape(nt, 1, T)
+    col_r, hit_r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nt, 9, T), jnp.int32),
+                   jax.ShapeDtypeStruct((nt, 27, T), jnp.int32)],
+        interpret=interpret,
+    )(blk, keys2, mask3, *([keys_wnd] * (9 * nblk)))
+
+    col_idx = jnp.clip(col_r.transpose(0, 2, 1).reshape(Vp, 9)[:V],
+                       0, V - 1)
+    hit = hit_r.transpose(0, 2, 1).reshape(Vp, 27)[:V] != 0
+    return ColumnKernelMap(col_idx=col_idx, hit=hit)
