@@ -88,6 +88,14 @@ class ColumnKernelMap:
 
     col_idx: jnp.ndarray   # [V_out, 9] int32 — slab base positions
     hit: jnp.ndarray       # [V_out, 27] bool
+    # Optional pre-tiled layout produced by the Pallas kernel-map builder
+    # (ops/pallas_kmap.py) and consumed directly by the fused Pallas conv
+    # (ops/pallas_conv.py): avoids re-deriving per-tile window blocks and
+    # transposed index/hit tiles for every conv sharing this map.
+    blk: jnp.ndarray | None = None      # [nt, 9] int32 window block ids
+    col_r: jnp.ndarray | None = None    # [nt, 9, T] int32
+    hit_r: jnp.ndarray | None = None    # [nt, 27, T] int8
+    overflow: jnp.ndarray | None = None  # [] int32 window-overflow count
 
     @property
     def idx(self):

@@ -110,7 +110,10 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
                         hit: jnp.ndarray, weights: jnp.ndarray,
                         out_mask: jnp.ndarray, *, groups: int = 1,
                         nblk: int = DEFAULT_NBLK, interpret: bool = False,
-                        out_dtype=None, tile: int | None = None):
+                        out_dtype=None, tile: int | None = None,
+                        blk: jnp.ndarray | None = None,
+                        col_r: jnp.ndarray | None = None,
+                        hit_r: jnp.ndarray | None = None):
     """27-tap column conv, fused gather->GEMM in one Pallas kernel.
 
     Args:
@@ -152,7 +155,8 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
             out_p, ov_p = conv_columns_pallas(
                 f3[:, :, a:b].reshape(V, G * (b - a)), col_idx, hit,
                 weights[:, a:b, :], out_mask, groups=G, nblk=nblk,
-                interpret=interpret, out_dtype=jnp.float32, tile=tile)
+                interpret=interpret, out_dtype=jnp.float32, tile=tile,
+                blk=blk, col_r=col_r, hit_r=hit_r)
             acc = out_p if acc is None else acc + out_p
             ov1 = ov_p if ov1 is None else ov1
         odt = feats.dtype if out_dtype is None else out_dtype
@@ -165,25 +169,34 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
     odt = dt if out_dtype is None else out_dtype
 
     fp = jnp.pad(feats, ((0, Vp - V), (0, 0)))
-    ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
-    ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
     om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
-
-    # prolog: per-tile per-column window block index (clamped so the nblk
-    # window blocks stay inside the padded array), plus overflow count
-    first = ci[::T]                                          # [nt, 9]
-    blk = jnp.clip(first // T, 0, nt - nblk).astype(jnp.int32)
-    rel = ci.reshape(nt, T, 9) - (blk[:, None, :] * T)
-    # +2: the z0/z+1 taps read up to 2 rows past the slab base
-    oob = (rel + 2 >= nblk * T) | (rel < 0)
-    overflow = jnp.sum(
-        (oob & ht.reshape(nt, T, 27)[:, :, 0::3].astype(bool)).astype(
-            jnp.int32))
-
-    col_r = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
-             .reshape(nt, 9, 1, T))                          # [nt,9,1,T]
-    hit_r = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)    # [nt,9,3,T]
     mask_r = om.reshape(nt, 1, T)
+
+    if blk is not None and col_r is not None and hit_r is not None:
+        # pre-tiled layout from the Pallas kernel-map builder
+        # (ops/pallas_kmap.py) — no per-conv prolog work at all
+        assert col_r.shape == (nt, 9, T) and hit_r.shape == (nt, 27, T)
+        overflow = jnp.int32(0)   # counted once by the kmap builder
+        col_r = col_r.reshape(nt, 9, 1, T)
+        hit_r = hit_r.reshape(nt, 9, 3, T)
+    else:
+        ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
+        ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
+
+        # prolog: per-tile per-column window block index (clamped so the
+        # nblk window blocks stay inside the padded array), plus overflow
+        first = ci[::T]                                      # [nt, 9]
+        blk = jnp.clip(first // T, 0, nt - nblk).astype(jnp.int32)
+        rel = ci.reshape(nt, T, 9) - (blk[:, None, :] * T)
+        # +2: the z0/z+1 taps read up to 2 rows past the slab base
+        oob = (rel + 2 >= nblk * T) | (rel < 0)
+        overflow = jnp.sum(
+            (oob & ht.reshape(nt, T, 27)[:, :, 0::3].astype(bool)).astype(
+                jnp.int32))
+
+        col_r = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
+                 .reshape(nt, 9, 1, T))                      # [nt,9,1,T]
+        hit_r = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
     w3 = weights.astype(dt).reshape(9, 3 * C, Co)
 
     kernel = _make_kernel(T, C, Co, G, nblk)

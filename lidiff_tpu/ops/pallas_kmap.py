@@ -42,9 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lidiff_tpu.ops import keys as K
 from lidiff_tpu.ops.grid import ColumnKernelMap, VoxelGeom
-
-TILE = 128
-NBLK = 4
+from lidiff_tpu.ops.pallas_conv import DEFAULT_NBLK as NBLK
+from lidiff_tpu.ops.pallas_conv import TILE
 _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
@@ -173,4 +172,15 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
     col_idx = jnp.clip(col_r.transpose(0, 2, 1).reshape(Vp, 9)[:V],
                        0, V - 1)
     hit = hit_r.transpose(0, 2, 1).reshape(Vp, 27)[:V] != 0
-    return ColumnKernelMap(col_idx=col_idx, hit=hit)
+
+    # window-overflow count (taps whose row fell outside the nblk window;
+    # dropped, never garbage — report like capacity overflow)
+    rel = col_r - blk[:, :, None] * T
+    oob = (rel + 2 >= nblk * T) | (rel < 0)
+    overflow = jnp.sum((oob & (hit_r[:, 0::3, :] != 0)).astype(jnp.int32))
+
+    # attach the tiled layout so every conv sharing this map skips its
+    # prolog (pad + transposes) and feeds the fused kernel directly
+    return ColumnKernelMap(col_idx=col_idx, hit=hit, blk=blk,
+                           col_r=col_r, hit_r=hit_r.astype(jnp.int8),
+                           overflow=overflow)

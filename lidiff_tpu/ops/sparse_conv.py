@@ -107,7 +107,10 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
         from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
         out, _ = conv_columns_pallas(cf, kmap.col_idx, kmap.hit, cw,
                                      out_mask, groups=G,
-                                     out_dtype=out_dtype)
+                                     out_dtype=out_dtype,
+                                     blk=getattr(kmap, "blk", None),
+                                     col_r=getattr(kmap, "col_r", None),
+                                     hit_r=getattr(kmap, "hit_r", None))
         return out
 
     # TPU gathers are row-RATE-bound, not byte-bound. Build a 3-row windowed

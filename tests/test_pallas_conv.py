@@ -125,3 +125,26 @@ def test_big_c_split_matches_xla(pyramid):
     assert int(ov) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-4)
+
+
+def test_tiled_kmap_path_matches(pyramid):
+    """The pre-tiled layout from the Pallas kernel-map builder must give
+    the same conv output as the raw col_idx/hit prolog path."""
+    from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
+    rng = np.random.default_rng(21)
+    L = pyramid.levels[1]
+    g = L.geom
+    V = g.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(g.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    km = build_kmap3_columns_pallas(g, interpret=True)
+    base, _ = conv_columns_pallas(jnp.asarray(feats), km.col_idx, km.hit,
+                                  jnp.asarray(w), g.mask, interpret=True)
+    tiled, _ = conv_columns_pallas(jnp.asarray(feats), km.col_idx, km.hit,
+                                   jnp.asarray(w), g.mask, interpret=True,
+                                   blk=km.blk, col_r=km.col_r,
+                                   hit_r=km.hit_r)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                               rtol=0, atol=1e-5)
