@@ -32,7 +32,10 @@ class Cfg(dict):
 
 
 def _round8(x: int) -> int:
-    return max(8, (int(x) + 7) // 8 * 8)
+    """Round capacities up to a multiple of 128: the Pallas conv /
+    kernel-map tiles are 128 rows, so 128-aligned capacities make every
+    padded shape equal the true shape (no per-call pad copies)."""
+    return max(128, (int(x) + 127) // 128 * 128)
 
 
 # Measured per-level occupancy (unique voxels / num_points), worst case over

@@ -39,10 +39,14 @@ class SparseConv(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, feats, kmap: KernelMap, out_mask):
+    def __call__(self, feats, kmap: KernelMap, out_mask, w_scale=None,
+                 bias=None, relu: bool = False):
         cin = feats.shape[-1] // self.groups
         w = self.param("kernel", _kaiming, (self.taps, cin, self.features))
-        return sparse_conv(feats, kmap, w, out_mask, groups=self.groups)
+        if w_scale is not None:
+            w = w * w_scale[None, None, :]
+        return sparse_conv(feats, kmap, w, out_mask, groups=self.groups,
+                           bias=bias, relu=relu)
 
 
 class SparseConvTranspose(nn.Module):
@@ -72,14 +76,22 @@ class MaskedBatchNorm(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, feats, mask, train: bool):
-        C = feats.shape[-1] // self.groups
+    def __call__(self, feats, mask, train: bool, channels: int = None):
+        """Normalize `feats`; or, with feats=None and `channels` given,
+        return the eval-mode per-channel affine (k, c) with y = x*k + c —
+        used to fold conv+BN(+ReLU) into one fused op (weights scaled by
+        k, c applied as the conv's epilogue bias). Mathematically equal to
+        the unfused eval path; saves the elementwise HBM pass."""
+        C = channels if feats is None else feats.shape[-1] // self.groups
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,)))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,)))
+        if feats is None:
+            k = scale * jax.lax.rsqrt(ra_var.value + self.eps)
+            return k, bias - ra_mean.value * k
         if train:
             assert self.groups == 1, "grouped BN is inference-only"
             mean, var, cnt = masked_moments(feats, mask, self.axis_name)
@@ -99,6 +111,7 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[:, None], y, 0)
 
 
+
 class ConvBNReLU(nn.Module):
     """BasicConvolutionBlock analog (minkunet.py:13-29). With taps=8 it is
     the ks=2/stride-2 down conv (output voxels = next coarser level)."""
@@ -109,11 +122,14 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, feats, kmap, out_mask, train: bool):
-        x = SparseConv(self.features, self.taps, self.groups)(
-            feats, kmap, out_mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)(
-            x, out_mask, train)
-        return nn.relu(x)
+        conv = SparseConv(self.features, self.taps, self.groups)
+        bn = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)
+        if train:
+            x = conv(feats, kmap, out_mask)
+            x = bn(x, out_mask, True)
+            return nn.relu(x)
+        k, c = bn(None, None, False, channels=self.features)
+        return conv(feats, kmap, out_mask, w_scale=k, bias=c, relu=True)
 
 
 class DeconvBNReLU(nn.Module):
@@ -142,13 +158,21 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, kmap, mask, train: bool):
         G = self.groups
-        x = SparseConv(self.features, 27, G)(feats, kmap, mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
-            x, mask, train)
-        x = nn.relu(x)
-        x = SparseConv(self.features, 27, G)(x, kmap, mask)
-        x = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
-            x, mask, train)
+        conv1 = SparseConv(self.features, 27, G)
+        bn1 = MaskedBatchNorm(axis_name=self.axis_name, groups=G)
+        conv2 = SparseConv(self.features, 27, G)
+        bn2 = MaskedBatchNorm(axis_name=self.axis_name, groups=G)
+        if train:
+            x = conv1(feats, kmap, mask)
+            x = bn1(x, mask, True)
+            x = nn.relu(x)
+            x = conv2(x, kmap, mask)
+            x = bn2(x, mask, True)
+        else:
+            k1, c1 = bn1(None, None, False, channels=self.features)
+            x = conv1(feats, kmap, mask, w_scale=k1, bias=c1, relu=True)
+            k2, c2 = bn2(None, None, False, channels=self.features)
+            x = conv2(x, kmap, mask, w_scale=k2, bias=c2)
         cin = feats.shape[-1] // G
         if cin == self.features:
             short = feats

@@ -55,10 +55,10 @@ TILE = 128          # output rows per grid step
 DEFAULT_NBLK = 4    # window blocks per column (covers offsets < nblk*T)
 
 
-def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int):
+def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int, relu: bool):
     """Kernel body for one output tile: all 9 columns unrolled."""
 
-    def kernel(blk_ref, col_ref, hit_ref, w_ref, mask_ref, *rest):
+    def kernel(blk_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref, *rest):
         wnd_refs = rest[:9 * nblk]
         o_ref = rest[9 * nblk]
         i = pl.program_id(0)
@@ -96,7 +96,12 @@ def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int):
                     axis=1).astype(dt)                   # [T, 3C]
                 accs[gi] = accs[gi] + jnp.dot(
                     slab, w3, preferred_element_type=jnp.float32)
+        # folded eval-BN epilogue: per-channel bias (weights already carry
+        # the scale), optional ReLU — saves the separate elementwise passes
+        accs = [a + bias_ref[0][None, :] for a in accs]
         acc = accs[0] if G == 1 else jnp.concatenate(accs, axis=1)
+        if relu:
+            acc = jnp.maximum(acc, 0)
         keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
         o_ref[:] = jnp.where(keep, acc, 0).astype(o_ref.dtype)
 
@@ -105,7 +110,7 @@ def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "nblk", "interpret",
-                                    "out_dtype", "tile"))
+                                    "out_dtype", "tile", "relu"))
 def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
                         hit: jnp.ndarray, weights: jnp.ndarray,
                         out_mask: jnp.ndarray, *, groups: int = 1,
@@ -113,7 +118,9 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
                         out_dtype=None, tile: int | None = None,
                         blk: jnp.ndarray | None = None,
                         col_r: jnp.ndarray | None = None,
-                        hit_r: jnp.ndarray | None = None):
+                        hit_r: jnp.ndarray | None = None,
+                        bias: jnp.ndarray | None = None,
+                        relu: bool = False):
     """27-tap column conv, fused gather->GEMM in one Pallas kernel.
 
     Args:
@@ -152,6 +159,7 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
         ov1 = None
         for p in range(n_parts):
             a, b = p * h, min((p + 1) * h, C)
+            # bias/relu apply once on the summed parts, not per part
             out_p, ov_p = conv_columns_pallas(
                 f3[:, :, a:b].reshape(V, G * (b - a)), col_idx, hit,
                 weights[:, a:b, :], out_mask, groups=G, nblk=nblk,
@@ -159,6 +167,12 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
                 blk=blk, col_r=col_r, hit_r=hit_r)
             acc = out_p if acc is None else acc + out_p
             ov1 = ov_p if ov1 is None else ov1
+        if bias is not None:
+            acc = acc + jnp.tile(bias.astype(acc.dtype), G)
+        if relu:
+            acc = jnp.maximum(acc, 0)
+        if bias is not None or relu:
+            acc = jnp.where(out_mask[:, None], acc, 0)
         odt = feats.dtype if out_dtype is None else out_dtype
         return acc.astype(odt), ov1
 
@@ -199,7 +213,10 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
         hit_r = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
     w3 = weights.astype(dt).reshape(9, 3 * C, Co)
 
-    kernel = _make_kernel(T, C, Co, G, nblk)
+    if bias is None:
+        bias = jnp.zeros((Co,), jnp.float32)
+    bias2 = jnp.asarray(bias, jnp.float32).reshape(1, Co)
+    kernel = _make_kernel(T, C, Co, G, nblk, relu)
 
     in_specs = [
         pl.BlockSpec((1, 9, 1, T), lambda i, blk_ref: (i, 0, 0, 0)),
@@ -207,6 +224,7 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
         # whole weight tensor VMEM-resident (constant index -> one DMA)
         pl.BlockSpec((9, 3 * C, Co), lambda i, blk_ref: (0, 0, 0)),
         pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),
+        pl.BlockSpec((1, Co), lambda i, blk_ref: (0, 0)),      # bias
     ]
 
     def _wnd_index_map(j, b):
@@ -229,5 +247,5 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Vp, G * Co), odt),
         interpret=interpret,
-    )(blk, col_r, hit_r, w3, mask_r, *([fp] * (9 * nblk)))
+    )(blk, col_r, hit_r, w3, mask_r, bias2, *([fp] * (9 * nblk)))
     return out[:V], overflow

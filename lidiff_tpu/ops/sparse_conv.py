@@ -75,7 +75,8 @@ def set_compute_dtype(name: str) -> None:
 
 def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                         weights: jnp.ndarray, out_mask: jnp.ndarray,
-                        groups: int = 1) -> jnp.ndarray:
+                        groups: int = 1, bias: jnp.ndarray | None = None,
+                        relu: bool = False) -> jnp.ndarray:
     """27-tap sparse conv over a column kernel map.
 
     The column map is cheap to BUILD (9 binary searches instead of 27);
@@ -110,7 +111,8 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                                      out_dtype=out_dtype,
                                      blk=getattr(kmap, "blk", None),
                                      col_r=getattr(kmap, "col_r", None),
-                                     hit_r=getattr(kmap, "hit_r", None))
+                                     hit_r=getattr(kmap, "hit_r", None),
+                                     bias=bias, relu=relu)
         return out
 
     # TPU gathers are row-RATE-bound, not byte-bound. Build a 3-row windowed
@@ -167,12 +169,17 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                                kmap.hit[:, col * 3:(col + 1) * 3], w3s[col])
             outs = [a + p for a, p in zip(outs, per_g)]
     out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), G)
+    if relu:
+        out = jnp.maximum(out, 0)
     return jnp.where(out_mask[:, None], out, 0)
 
 
 def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                 out_mask: jnp.ndarray, *, fused: bool = False,
-                groups: int = 1) -> jnp.ndarray:
+                groups: int = 1, bias: jnp.ndarray | None = None,
+                relu: bool = False) -> jnp.ndarray:
     """Sparse convolution.
 
     Args:
@@ -189,7 +196,7 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
     """
     if isinstance(kmap, ColumnKernelMap):
         return sparse_conv_columns(feats, kmap, weights, out_mask,
-                                   groups=groups)
+                                   groups=groups, bias=bias, relu=relu)
     Kt, Cin, Cout = weights.shape
     G = groups
     assert feats.shape[-1] == G * Cin
@@ -226,6 +233,10 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                 per_g = one_tap(kmap.idx[:, k], kmap.hit[:, k], cw[k])
                 outs = [a + p for a, p in zip(outs, per_g)]
         out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), G)
+    if relu:
+        out = jnp.maximum(out, 0)
     return jnp.where(out_mask[:, None], out, 0)
 
 

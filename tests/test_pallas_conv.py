@@ -148,3 +148,27 @@ def test_tiled_kmap_path_matches(pyramid):
                                    hit_r=km.hit_r)
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
                                rtol=0, atol=1e-5)
+
+
+def test_bias_relu_epilogue(pyramid):
+    """Folded conv+BN(+ReLU) epilogue == separate bias-add + relu + mask
+    (the eval-mode BN fold, reference BasicConvolutionBlock semantics
+    minkunet.py:13-29)."""
+    rng = np.random.default_rng(31)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    c = rng.normal(0, 0.5, (Co,)).astype(np.float32)
+    base, _ = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                  L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                  interpret=True)
+    ref = np.maximum(np.asarray(base) + c, 0)
+    ref[~np.asarray(L.geom.mask)] = 0.0
+    got, _ = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                 L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                 interpret=True, bias=jnp.asarray(c),
+                                 relu=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=1e-5)
