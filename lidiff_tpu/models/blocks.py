@@ -40,13 +40,14 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, kmap: KernelMap, out_mask, w_scale=None,
-                 bias=None, relu: bool = False):
+                 bias=None, relu: bool = False,
+                 allow_pallas: bool = True):
         cin = feats.shape[-1] // self.groups
         w = self.param("kernel", _kaiming, (self.taps, cin, self.features))
         if w_scale is not None:
             w = w * w_scale[None, None, :]
         return sparse_conv(feats, kmap, w, out_mask, groups=self.groups,
-                           bias=bias, relu=relu)
+                           bias=bias, relu=relu, allow_pallas=allow_pallas)
 
 
 class SparseConvTranspose(nn.Module):
@@ -125,7 +126,9 @@ class ConvBNReLU(nn.Module):
         conv = SparseConv(self.features, self.taps, self.groups)
         bn = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)
         if train:
-            x = conv(feats, kmap, out_mask)
+            # differentiated path: Pallas has no autodiff rule; use the
+            # identical XLA conv so gradients flow
+            x = conv(feats, kmap, out_mask, allow_pallas=False)
             x = bn(x, out_mask, True)
             return nn.relu(x)
         k, c = bn(None, None, False, channels=self.features)
@@ -163,10 +166,10 @@ class ResidualBlock(nn.Module):
         conv2 = SparseConv(self.features, 27, G)
         bn2 = MaskedBatchNorm(axis_name=self.axis_name, groups=G)
         if train:
-            x = conv1(feats, kmap, mask)
+            x = conv1(feats, kmap, mask, allow_pallas=False)
             x = bn1(x, mask, True)
             x = nn.relu(x)
-            x = conv2(x, kmap, mask)
+            x = conv2(x, kmap, mask, allow_pallas=False)
             x = bn2(x, mask, True)
         else:
             k1, c1 = bn1(None, None, False, channels=self.features)

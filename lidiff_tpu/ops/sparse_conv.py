@@ -76,7 +76,8 @@ def set_compute_dtype(name: str) -> None:
 def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                         weights: jnp.ndarray, out_mask: jnp.ndarray,
                         groups: int = 1, bias: jnp.ndarray | None = None,
-                        relu: bool = False) -> jnp.ndarray:
+                        relu: bool = False,
+                        allow_pallas: bool = True) -> jnp.ndarray:
     """27-tap sparse conv over a column kernel map.
 
     The column map is cheap to BUILD (9 binary searches instead of 27);
@@ -104,7 +105,10 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     cf = feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
 
-    if USE_PALLAS and _on_tpu():
+    if USE_PALLAS and allow_pallas and _on_tpu():
+        # pallas_call has no autodiff rule: callers on the differentiated
+        # training path pass allow_pallas=False (blocks gate on `train`)
+        # and get the mathematically-identical XLA implementation below.
         from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
         out, _ = conv_columns_pallas(cf, kmap.col_idx, kmap.hit, cw,
                                      out_mask, groups=G,
@@ -114,6 +118,14 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                                      hit_r=getattr(kmap, "hit_r", None),
                                      bias=bias, relu=relu)
         return out
+
+    return _sparse_conv_columns_xla(cf, kmap, cw, out_mask, G, bias, relu,
+                                    out_dtype)
+
+
+def _sparse_conv_columns_xla(cf, kmap, cw, out_mask, G, bias, relu,
+                             out_dtype):
+    Kt, Cin, Cout = cw.shape
 
     # TPU gathers are row-RATE-bound, not byte-bound. Build a 3-row windowed
     # view once (sequential writes at full HBM bandwidth), then each column
@@ -179,7 +191,8 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
 def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
                 out_mask: jnp.ndarray, *, fused: bool = False,
                 groups: int = 1, bias: jnp.ndarray | None = None,
-                relu: bool = False) -> jnp.ndarray:
+                relu: bool = False,
+                allow_pallas: bool = True) -> jnp.ndarray:
     """Sparse convolution.
 
     Args:
@@ -196,7 +209,8 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
     """
     if isinstance(kmap, ColumnKernelMap):
         return sparse_conv_columns(feats, kmap, weights, out_mask,
-                                   groups=groups, bias=bias, relu=relu)
+                                   groups=groups, bias=bias, relu=relu,
+                                   allow_pallas=allow_pallas)
     Kt, Cin, Cout = weights.shape
     G = groups
     assert feats.shape[-1] == G * Cin
