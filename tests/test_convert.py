@@ -11,6 +11,8 @@ from lidiff_tpu.models.refine import RefineTask
 from lidiff_tpu.tools.convert_checkpoint import (convert_diffusion,
                                                  convert_refine, cube_perm)
 
+pytestmark = pytest.mark.slow
+
 CFG = {
     "experiment": {"id": "conv"},
     "data": {"data_dir": "", "resolution": 0.25, "dataloader": "KITTI",

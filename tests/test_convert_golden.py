@@ -24,6 +24,9 @@ import numpy as np
 from lidiff_tpu.ops import grid as G
 from lidiff_tpu.ops.sparse_conv import sparse_conv
 from lidiff_tpu.tools.convert_checkpoint import cube_perm
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def me_offsets(k: int) -> np.ndarray:

@@ -36,13 +36,15 @@ def test_rmse():
 
 def test_completion_iou_perfect_and_disjoint():
     rng = np.random.default_rng(0)
-    pts = rng.uniform(-40, 40, size=(5000, 3))
-    iou = CompletionIoU()
+    pts = rng.uniform(-8, 8, size=(5000, 3))
+    # smaller range, same code path: the default +-50 m at 0.1 m drives a
+    # 1e9-bin histogram (~3.5 min of numpy) without testing anything more
+    iou = CompletionIoU(max_range=10.0)
     iou.update(pts, pts)
     res = iou.compute()
     for v in res.values():
         np.testing.assert_allclose(v, 1.0, atol=1e-6)
-    iou2 = CompletionIoU(voxel_sizes=[0.5])
+    iou2 = CompletionIoU(voxel_sizes=[0.5], max_range=10.0)
     iou2.update(pts, pts + 100.0)      # pred fully out of range
     assert iou2.compute()[0.5] < 1e-6
 

@@ -10,6 +10,8 @@ from lidiff_tpu.config import finalize_config
 from lidiff_tpu.models.diffusion import DiffusionTask
 from lidiff_tpu.models.refine import RefineTask
 
+pytestmark = pytest.mark.slow
+
 B, NF, NP = 2, 256, 64
 
 CFG = {
