@@ -173,12 +173,18 @@ def main():
 
     steps_per_sec = s_steps / elapsed
 
-    # capacity validation on the real input: any overflow means voxels were
-    # dropped and capacities must be re-derived (scripts/measure_occupancy)
+    # capacity + conv-window validation on the real input: any overflow
+    # means voxels (or conv taps) were dropped and capacities / window
+    # sizes must be re-derived (scripts/measure_occupancy)
     key_ov = jax.random.PRNGKey(9)
     x_noisy = xi + jax.random.normal(key_ov, xi.shape)     # t ~ T regime
-    ov = np.asarray(jax.jit(lambda p: task.pyramid_full(p).overflows())(
-        x_noisy))
+
+    @jax.jit
+    def _overflows(p):
+        pyr = task.pyramid_full(p)
+        return pyr.overflows(), pyr.window_overflows()
+
+    ov, wov = (np.asarray(a) for a in _overflows(x_noisy))
 
     flops = step_flops(cfg["tpu"]["full_capacities"],
                        cfg["tpu"]["part_capacities"])
@@ -200,6 +206,8 @@ def main():
             "model_tflops_per_step": round(flops / 1e12, 3),
             "mfu": round(mfu, 4),
             "capacity_overflow_per_level": [int(x) for x in ov],
+            "window_overflow_per_level": [int(x) for x in wov],
+            "compute_dtype": os.environ["LIDIFF_COMPUTE_DTYPE"],
         },
     }
     print(json.dumps(result))

@@ -50,6 +50,15 @@ class DPMSolver:
     def num_steps(self) -> int:
         return self.timesteps.shape[0]
 
+    def value_key(self):
+        """Hashable identity of the schedule VALUE (used to cache compiled
+        sampling closures — `id()` of a dead solver can be recycled and
+        would silently reuse stale coefficient tables)."""
+        import numpy as _np
+        return (self.num_steps, self.lower_order_final,
+                bytes(_np.asarray(self.timesteps).tobytes()),
+                bytes(_np.asarray(self.lambda_t).tobytes()))
+
 
 def make_dpm_solver(name: str, t_steps: int, s_steps: int,
                     beta_start: float | None = None,

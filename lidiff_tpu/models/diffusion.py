@@ -165,8 +165,17 @@ class DiffusionTask:
         loss_mean = jnp.mean(eps_pred) ** 2
         loss_std = (jnp.std(eps_pred) - 1.0) ** 2
         loss = loss_mse + self.reg_weight * (loss_mean + loss_std)
+        # overflow observability: dropped voxels (static capacity exceeded)
+        # or dropped conv taps (kernel-map DMA window exceeded) silently
+        # degrade quality — surface them with every step's metrics so the
+        # trainer can warn (cost: a few scalar reductions per step)
+        ovf = (jnp.sum(pyr_full.overflows())
+               + jnp.sum(pyr_part.overflows())).astype(jnp.float32)
+        wovf = (jnp.sum(pyr_full.window_overflows())
+                + jnp.sum(pyr_part.window_overflows())).astype(jnp.float32)
         metrics = {"loss": loss, "loss_mse": loss_mse,
-                   "loss_mean": loss_mean, "loss_std": loss_std}
+                   "loss_mean": loss_mean, "loss_std": loss_std,
+                   "overflow_vox": ovf, "overflow_window": wovf}
         return loss, (mutated["batch_stats"], metrics)
 
     # ---------------- sampling ----------------
@@ -308,12 +317,14 @@ class DiffusionTask:
     def sample_chunked(self, variables, x_init, key, part,
                        w_uncond: float | None = None,
                        solver: DPMSolver | None = None, chunk: int = 10):
-        """Convenience driver; caches the compiled sampler per
-        (solver identity, w, chunk) so repeated calls reuse one compilation.
-        Solver identity matters: two solvers with equal step counts but
-        different schedules capture different coefficient tables in the
-        compiled closure."""
-        cache_key = (id(solver or self.solver), w_uncond, chunk)
+        """Convenience driver; caches the compiled sampler per solver VALUE
+        (schedule + step count), w and chunk so repeated calls reuse one
+        compilation. Keyed by value, not `id()`: two solvers with equal
+        step counts but different schedules capture different coefficient
+        tables in the compiled closure, and a recycled `id()` of a dead
+        solver must not resurrect a stale closure."""
+        s = solver or self.solver
+        cache_key = (s.value_key(), w_uncond, chunk)
         if not hasattr(self, "_chunk_cache"):
             self._chunk_cache = {}
         if cache_key not in self._chunk_cache:

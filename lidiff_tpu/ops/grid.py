@@ -390,6 +390,18 @@ class Pyramid:
         capacities from measured occupancy (scripts/measure_occupancy.py)."""
         return jnp.stack([l.geom.overflow for l in self.levels])
 
+    def window_overflows(self) -> jnp.ndarray:
+        """Per-level dropped CONV TAP counts [num_levels] int32 from the
+        Pallas kernel-map builder's finite DMA windows (zero for maps built
+        by the search-based XLA builder, which has no windows). Nonzero
+        means a scene's column spans exceeded the calibrated window size
+        (nblk*TILE rows) and conv taps were silently zeroed — surfaced in
+        bench.py / the trainer like capacity overflow."""
+        return jnp.stack([
+            l.kmap3.overflow if getattr(l.kmap3, "overflow", None)
+            is not None else jnp.int32(0)
+            for l in self.levels])
+
 
 def build_pyramid(points: jnp.ndarray, resolution: float,
                   capacities: Sequence[int], num_levels: int,

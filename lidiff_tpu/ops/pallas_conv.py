@@ -55,6 +55,30 @@ TILE = 128          # output rows per grid step
 DEFAULT_NBLK = 4    # window blocks per column (covers offsets < nblk*T)
 
 
+def _window_overflow(r0, hit_z, W):
+    """Exact dropped-tap count: for each z-tap, a HIT whose actual slab row
+    (r0, r0+m0, r0+m0+m1 — the rows the selector matmul targets) falls
+    outside the [0, W) window contributes zero and is counted here.
+
+    Args:
+      r0: [..., 9] int32 window-relative slab base rows.
+      hit_z: [..., 9, 3] int8/bool z-tap hit masks.
+      W: window rows.
+    """
+    m0 = hit_z[..., 0].astype(jnp.int32)
+    m1 = hit_z[..., 1].astype(jnp.int32)
+    m2 = hit_z[..., 2].astype(jnp.int32)
+    r1 = r0 + m0
+    r2 = r1 + m1
+
+    def _oob(r):
+        return (r < 0) | (r >= W)
+
+    return (jnp.sum((m0 != 0) & _oob(r0))
+            + jnp.sum((m1 != 0) & _oob(r1))
+            + jnp.sum((m2 != 0) & _oob(r2))).astype(jnp.int32)
+
+
 def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int, relu: bool):
     """Kernel body for one output tile: all 9 columns unrolled."""
 
@@ -202,11 +226,7 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
         first = ci[::T]                                      # [nt, 9]
         blk = jnp.clip(first // T, 0, nt - nblk).astype(jnp.int32)
         rel = ci.reshape(nt, T, 9) - (blk[:, None, :] * T)
-        # +2: the z0/z+1 taps read up to 2 rows past the slab base
-        oob = (rel + 2 >= nblk * T) | (rel < 0)
-        overflow = jnp.sum(
-            (oob & ht.reshape(nt, T, 27)[:, :, 0::3].astype(bool)).astype(
-                jnp.int32))
+        overflow = _window_overflow(rel, ht.reshape(nt, T, 9, 3), nblk * T)
 
         col_r = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
                  .reshape(nt, 9, 1, T))                      # [nt,9,1,T]
@@ -403,9 +423,8 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     # hit-aware overflow: only taps that actually HIT but fall outside the
     # window are real drops (span-only counting over-counts on sparse data)
     rel = col4[:, :, 0, :] - lo[:, :, None]                  # [nt, 9, T]
-    oob = (rel + 2 >= W) | (rel < 0)
-    m0h = hit4[:, :, 0, :] != 0
-    overflow = jnp.sum((oob & m0h).astype(jnp.int32))
+    overflow = _window_overflow(rel.transpose(0, 2, 1),
+                                hit4.transpose(0, 3, 1, 2), W)
     del last
 
     if bias is None:

@@ -173,11 +173,15 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
                        0, V - 1)
     hit = hit_r.transpose(0, 2, 1).reshape(Vp, 27)[:V] != 0
 
-    # window-overflow count (taps whose row fell outside the nblk window;
-    # dropped, never garbage — report like capacity overflow)
-    rel = col_r - blk[:, :, None] * T
-    oob = (rel + 2 >= nblk * T) | (rel < 0)
-    overflow = jnp.sum((oob & (hit_r[:, 0::3, :] != 0)).astype(jnp.int32))
+    # window-overflow count: for each of the three z-taps, count HITS whose
+    # actual slab row (r0, r0+m0, r0+m0+m1 — the rows the conv reads) falls
+    # outside the nblk window. Dropped taps are never garbage, but they are
+    # silent quality loss, so every one is counted (including z/z+s taps
+    # whose base tap missed). Surfaced per level via Pyramid.
+    from lidiff_tpu.ops.pallas_conv import _window_overflow
+    r0 = (col_r - blk[:, :, None] * T).transpose(0, 2, 1)   # [nt, T, 9]
+    hit_z = hit_r.reshape(nt, 9, 3, T).transpose(0, 3, 1, 2)
+    overflow = _window_overflow(r0, hit_z, nblk * T)
 
     # attach the tiled layout so every conv sharing this map skips its
     # prolog (pad + transposes) and feeds the fused kernel directly

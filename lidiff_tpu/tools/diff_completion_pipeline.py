@@ -129,6 +129,7 @@ class DiffCompletion:
         x_init = self.preprocess_scan(scan)
         part = x_init[:, :self.n_part]
         self.key, k = jax.random.split(self.key)
+        self._check_overflow(x_init)
         completed = np.asarray(
             self._sample_jit(self.variables, jnp.asarray(x_init),
                              jnp.asarray(part), k))[0]
@@ -143,6 +144,27 @@ class DiffCompletion:
         eval_path.py:78 expected this but got a tuple — latent bug there)."""
         refined, _ = self.complete_scan(scan)
         return refined
+
+    def _check_overflow(self, x_init: np.ndarray) -> None:
+        """Warn loudly (once) if this scan's geometry exceeds the static
+        voxel capacities or conv DMA windows at the t~T noise regime —
+        dropped voxels/taps silently degrade completion quality."""
+        if getattr(self, "_overflow_checked", False):
+            return
+        self._overflow_checked = True
+
+        @jax.jit
+        def _ov(p, key):
+            pyr = self.task.pyramid_full(p + jax.random.normal(key, p.shape))
+            return pyr.overflows(), pyr.window_overflows()
+
+        ov, wov = (np.asarray(a) for a in
+                   _ov(jnp.asarray(x_init), jax.random.PRNGKey(9)))
+        if ov.sum() or wov.sum():
+            print(f"WARNING: voxel-capacity overflow {ov.tolist()} / "
+                  f"conv-window overflow {wov.tolist()} on this scan — "
+                  "completions will silently drop geometry; re-derive "
+                  "tpu.*_capacities with scripts/measure_occupancy.py")
 
     def refine(self, points: np.ndarray) -> np.ndarray:
         """Tile to the refiner's static size, predict offsets, upsample."""

@@ -110,6 +110,14 @@ def main(config, weights, checkpoint, test, max_steps):
                 trainer.logger.log(step, m)
                 print(f"epoch {epoch} step {step} "
                       + " ".join(f"{k2}={v:.4f}" for k2, v in m.items()))
+                dropped = (m.get("train/overflow_vox", 0)
+                           + m.get("train/overflow_window", 0))
+                if dropped:
+                    print(f"WARNING: step {step}: {int(dropped)} voxels/"
+                          "conv taps dropped (capacity or DMA window "
+                          "exceeded) — re-derive tpu.full_capacities / "
+                          "part_capacities with scripts/measure_occupancy"
+                          ".py for this dataset")
             if max_steps and step >= max_steps:
                 break
         trainer.save(epoch, state)

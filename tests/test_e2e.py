@@ -122,8 +122,12 @@ def test_pipeline_on_real_scan(ckpts):
     assert np.isfinite(refined).all() and np.isfinite(diff_scan).all()
     # completion must stay within the crop radius vicinity
     assert float(np.linalg.norm(diff_scan, axis=1).max()) < 60.0
-    # capacity check on real data: no level may overflow
+    # capacity + conv-window check on real data: no level may drop voxels
+    # or conv taps
     import jax.numpy as jnp
     pre = dc.preprocess_scan(scan)
-    ov = np.asarray(dc.task.pyramid_full(jnp.asarray(pre)).overflows())
+    pyr = dc.task.pyramid_full(jnp.asarray(pre))
+    ov = np.asarray(pyr.overflows())
     assert (ov == 0).all(), ov
+    wov = np.asarray(pyr.window_overflows())
+    assert (wov == 0).all(), wov

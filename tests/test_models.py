@@ -114,6 +114,37 @@ def test_chunked_sampler_matches_scan(task, variables):
 
 
 @pytest.mark.slow
+def test_chunked_sampler_cache_keyed_by_solver_value(task, variables):
+    """The compiled-sampler cache must key on the solver's VALUE: two
+    solvers with equal step counts but different schedules take different
+    cache entries (a recycled `id()` must never resurrect a stale compiled
+    closure), and a value-equal new instance reuses the cached one."""
+    from lidiff_tpu.diffusion.dpm_solver import make_dpm_solver
+    rng = np.random.default_rng(17)
+    part = jnp.asarray(rng.normal(0, 3, (1, NP, 3)).astype(np.float32))
+    x_init = jnp.tile(part, (1, NF // NP, 1))
+    key = jax.random.PRNGKey(21)
+
+    s_a = make_dpm_solver("linear", 100, 2, 3.5e-5, 0.007)
+    s_b = make_dpm_solver("linear", 100, 2, 3.5e-5, 0.05)   # same S
+    out_a = np.asarray(task.sample_chunked(variables, x_init, key,
+                                           part=part, solver=s_a))
+    out_b = np.asarray(task.sample_chunked(variables, x_init, key,
+                                           part=part, solver=s_b))
+    assert np.abs(out_a - out_b).max() > 1e-6, \
+        "different schedules must not share a cached closure"
+    del s_a
+    # a fresh, value-equal solver must hit the same cache entry and
+    # reproduce the first result exactly
+    s_a2 = make_dpm_solver("linear", 100, 2, 3.5e-5, 0.007)
+    n_entries = len(task._chunk_cache)
+    out_a2 = np.asarray(task.sample_chunked(variables, x_init, key,
+                                            part=part, solver=s_a2))
+    assert len(task._chunk_cache) == n_entries
+    np.testing.assert_array_equal(out_a, out_a2)
+
+
+@pytest.mark.slow
 def test_grouped_classfree_matches_two_passes(task, variables):
     """The fused cond/uncond grouped forward must reproduce two separate
     denoiser passes exactly (same params, same geometry, per-group GEMM
