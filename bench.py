@@ -35,7 +35,12 @@ def _enable_compile_cache():
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache_tpu")
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # threshold 0: the measured cold-start whale is ~1600 TINY eager-op
+        # executables (~0.2-0.5 s each through the remote-compile tunnel,
+        # ~350 s total) that a 5 s write threshold would never cache; the
+        # big sampler graphs were already cached and were NOT the problem
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
 
@@ -191,6 +196,41 @@ def main():
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
     mfu = flops * steps_per_sec / peak
 
+    # training throughput (BASELINE configs #3/#4 are TRAINING configs):
+    # full value_and_grad of the diffusion loss + Adam update at the same
+    # operating point, with the Pallas convs on the differentiated path
+    # (custom_vjp). Disable with BENCH_TRAIN=0.
+    train_sps = None
+    train_compile_s = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        import optax
+        opt = optax.adam(1e-4)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        opt_state = opt.init(params)
+        batch = {"pcd_full": xi, "pcd_part": pp}
+
+        @jax.jit
+        def train_step(params, opt_state, batch_stats, key):
+            (_, (bs, m)), grads = jax.value_and_grad(
+                task.loss_fn, has_aux=True)(params, batch_stats, batch, key)
+            ups, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, ups), opt_state, bs, m
+
+        kt = jax.random.PRNGKey(3)
+        t0 = time.time()
+        params, opt_state, batch_stats, m = train_step(
+            params, opt_state, batch_stats, kt)
+        jax.block_until_ready(m)
+        train_compile_s = time.time() - t0
+        treps = int(os.environ.get("BENCH_TRAIN_REPS", 4))
+        t0 = time.time()
+        for i in range(treps):
+            params, opt_state, batch_stats, m = train_step(
+                params, opt_state, batch_stats, jax.random.fold_in(kt, i))
+        jax.block_until_ready(m)
+        train_sps = treps / (time.time() - t0)
+
     result = {
         "metric": "denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
@@ -208,6 +248,10 @@ def main():
             "capacity_overflow_per_level": [int(x) for x in ov],
             "window_overflow_per_level": [int(x) for x in wov],
             "compute_dtype": os.environ["LIDIFF_COMPUTE_DTYPE"],
+            "train_steps_per_sec": (round(train_sps, 3)
+                                    if train_sps else None),
+            "train_compile_plus_first_s": (round(train_compile_s, 1)
+                                           if train_compile_s else None),
         },
     }
     print(json.dumps(result))

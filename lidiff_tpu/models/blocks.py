@@ -126,9 +126,10 @@ class ConvBNReLU(nn.Module):
         conv = SparseConv(self.features, self.taps, self.groups)
         bn = MaskedBatchNorm(axis_name=self.axis_name, groups=self.groups)
         if train:
-            # differentiated path: Pallas has no autodiff rule; use the
-            # identical XLA conv so gradients flow
-            x = conv(feats, kmap, out_mask, allow_pallas=False)
+            # differentiated path: the Pallas conv carries a custom_vjp
+            # (ops/pallas_conv.py), so training runs the fused kernel too;
+            # BN stays separate (train-mode batch moments)
+            x = conv(feats, kmap, out_mask)
             x = bn(x, out_mask, True)
             return nn.relu(x)
         k, c = bn(None, None, False, channels=self.features)
@@ -166,10 +167,10 @@ class ResidualBlock(nn.Module):
         conv2 = SparseConv(self.features, 27, G)
         bn2 = MaskedBatchNorm(axis_name=self.axis_name, groups=G)
         if train:
-            x = conv1(feats, kmap, mask, allow_pallas=False)
+            x = conv1(feats, kmap, mask)
             x = bn1(x, mask, True)
             x = nn.relu(x)
-            x = conv2(x, kmap, mask, allow_pallas=False)
+            x = conv2(x, kmap, mask)
             x = bn2(x, mask, True)
         else:
             k1, c1 = bn1(None, None, False, channels=self.features)

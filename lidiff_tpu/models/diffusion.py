@@ -123,13 +123,20 @@ class DiffusionTask:
 
     def init(self, key, batch_size: int = 1, n_full: int = 1024,
              n_part: int = 128):
-        kp, kf, kx = jax.random.split(key, 3)
-        pts = jax.random.normal(kf, (batch_size, n_full, 3))
-        part = jax.random.normal(kp, (batch_size, n_part, 3))
-        pyr_full = self.pyramid_full(pts)
-        pyr_part = self.pyramid_part(part)
-        t = jnp.zeros((batch_size,), jnp.int32)
-        return self.model.init(kx, pyr_full, pyr_part, t, train=False)
+        # one jitted graph instead of hundreds of eager ops: on tunneled
+        # backends every eager op is a separate remote compile (~0.2-0.5 s
+        # each), which dominated process cold start
+        @jax.jit
+        def _init(key):
+            kp, kf, kx = jax.random.split(key, 3)
+            pts = jax.random.normal(kf, (batch_size, n_full, 3))
+            part = jax.random.normal(kp, (batch_size, n_part, 3))
+            pyr_full = self.pyramid_full(pts)
+            pyr_part = self.pyramid_part(part)
+            t = jnp.zeros((batch_size,), jnp.int32)
+            return self.model.init(kx, pyr_full, pyr_part, t, train=False)
+
+        return _init(key)
 
     # ---------------- training ----------------
 

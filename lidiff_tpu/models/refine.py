@@ -33,8 +33,14 @@ class RefineTask:
                              self.num_levels)
 
     def init(self, key, batch_size: int = 1, n_points: int = 1024):
-        pts = jax.random.normal(key, (batch_size, n_points, 3))
-        return self.model.init(key, self.pyramid(pts), False)
+        # one jitted graph instead of hundreds of eager ops (remote-compile
+        # cold start; see DiffusionTask.init)
+        @jax.jit
+        def _init(key):
+            pts = jax.random.normal(key, (batch_size, n_points, 3))
+            return self.model.init(key, self.pyramid(pts), False)
+
+        return _init(key)
 
     def forward(self, variables, points, train: bool = False,
                 mutable=False):

@@ -272,6 +272,226 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Autodiff: the column conv is LINEAR in both feats and weights, so its VJP
+# is two more structured ops over the SAME kernel map:
+#
+#   * grad wrt feats  = the same column conv applied to the cotangent with
+#     tap-REVERSED, transposed weights: cube_offsets order reverses exactly
+#     under offset negation (k -> 26-k), and on stride-1 maps (input set ==
+#     output set) the hit relation is symmetric — hit(o,k) with target i
+#     iff hit(i,26-k) with target o.  (The one asymmetry is the builder's
+#     conservative q_valid miss for columns whose z-s tap leaves the packed
+#     coordinate range, unreachable at the 50 m / 0.05 m operating point —
+#     see ops/grid.py build_kmap3_columns.)
+#   * grad wrt weights = per-tap slab-transpose GEMMs, computed by
+#     `conv_columns_pallas_dw` below: the same streamed windows and one-hot
+#     selectors as the forward, but contracting slab^T @ g into a
+#     [9, 3C, Co] VMEM-resident accumulator (constant out index map,
+#     accumulated across the sequential TPU grid).
+#
+# This puts the fused kernel on the TRAINING path (the reference's main hot
+# path, /root/reference/lidiff/train.py:88-121) — previously every training
+# conv fell back to the XLA gather path because pallas_call has no autodiff
+# rule.
+# ---------------------------------------------------------------------------
+
+
+def _make_dw_kernel(T: int, C: int, Co: int, G: int, nblk: int):
+    def kernel(blk_ref, col_ref, hit_ref, g_in_ref, mask_ref, *rest):
+        wnd_refs = rest[:9 * nblk]
+        dw_ref = rest[9 * nblk]              # [9, 3C, Co] f32, accumulated
+        i = pl.program_id(0)
+        dt = wnd_refs[0].dtype
+
+        @pl.when(i == 0)
+        def _init():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
+        gt = jnp.where(keep, g_in_ref[:], 0).astype(dt)     # [T, G*Co]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, nblk * T), 1)
+        for j in range(9):
+            lo = blk_ref[i, j] * T
+            r0 = col_ref[0, j, 0, :] - lo
+            m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
+            m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
+            m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
+            r1 = r0 + m0
+            r2 = r1 + m1
+            sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
+                              jnp.float32(1), jnp.float32(0)).astype(dt)
+                    for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+            gz = []
+            for sel in sels:
+                acc_g = jnp.zeros((T, G * C), jnp.float32)
+                for b in range(nblk):
+                    acc_g = acc_g + jnp.dot(
+                        sel[:, b * T:(b + 1) * T],
+                        wnd_refs[j * nblk + b][:],
+                        preferred_element_type=jnp.float32)
+                gz.append(acc_g)
+            acc = jnp.zeros((3 * C, Co), jnp.float32)
+            for gi in range(G):
+                sl = slice(gi * C, (gi + 1) * C)
+                slab = jnp.concatenate(
+                    [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
+                    axis=1).astype(dt)                      # [T, 3C]
+                # slab^T @ g without an explicit transpose
+                acc = acc + jax.lax.dot_general(
+                    slab, gt[:, gi * Co:(gi + 1) * Co],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dw_ref[j] = dw_ref[j] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("groups", "nblk", "interpret", "tile"))
+def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
+                           col_idx: jnp.ndarray, hit: jnp.ndarray,
+                           out_mask: jnp.ndarray, *, groups: int = 1,
+                           nblk: int = DEFAULT_NBLK, interpret: bool = False,
+                           tile: int | None = None,
+                           blk: jnp.ndarray | None = None,
+                           col_r: jnp.ndarray | None = None,
+                           hit_r: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Weight gradient of the column conv.
+
+    dW[k, c, co] = sum over outputs o (and groups) of
+    hit(o,k) * feats[idx(o,k), c] * g[o, co] — the same streamed windows
+    and one-hot row picks as the forward, contracted slab^T @ g.
+
+    Args match `conv_columns_pallas` (feats [V, G*C], g [V, G*Co] the
+    masked cotangent).  Returns dW [27, C, Co] float32 (weights are shared
+    across groups, so group contributions sum).
+    """
+    V, CG = feats.shape
+    G = groups
+    C = CG // G
+    Co = g.shape[-1] // G
+
+    if C > 128:
+        n_parts = -(-C // 128)
+        h = (-(-C // n_parts) + 7) & ~7
+        f3 = feats.reshape(V, G, C)
+        parts = []
+        for p in range(n_parts):
+            a, b = p * h, min((p + 1) * h, C)
+            parts.append(conv_columns_pallas_dw(
+                f3[:, :, a:b].reshape(V, G * (b - a)), g, col_idx, hit,
+                out_mask, groups=G, nblk=nblk, interpret=interpret,
+                tile=tile, blk=blk, col_r=col_r, hit_r=hit_r))
+        return jnp.concatenate(parts, axis=1)               # [27, C, Co]
+
+    T = TILE if tile is None else tile
+    nt = max(pl.cdiv(V, T), nblk)
+    Vp = nt * T
+    dt = feats.dtype
+
+    fp = jnp.pad(feats, ((0, Vp - V), (0, 0)))
+    gp = jnp.pad(g.astype(dt), ((0, Vp - V), (0, 0)))
+    om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
+    mask_r = om.reshape(nt, 1, T)
+
+    if blk is not None and col_r is not None and hit_r is not None:
+        assert col_r.shape == (nt, 9, T) and hit_r.shape == (nt, 27, T)
+        col4 = col_r.reshape(nt, 9, 1, T)
+        hit4 = hit_r.reshape(nt, 9, 3, T)
+    else:
+        ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
+        ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
+        first = ci[::T]
+        blk = jnp.clip(first // T, 0, nt - nblk).astype(jnp.int32)
+        col4 = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
+                .reshape(nt, 9, 1, T))
+        hit4 = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
+
+    kernel = _make_dw_kernel(T, C, Co, G, nblk)
+    in_specs = [
+        pl.BlockSpec((1, 9, 1, T), lambda i, blk_ref: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 9, 3, T), lambda i, blk_ref: (i, 0, 0, 0)),
+        pl.BlockSpec((T, G * Co), lambda i, blk_ref: (i, 0)),   # cotangent
+        pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),
+    ]
+
+    def _wnd_index_map(j, b):
+        def index_map(i, blk_ref):
+            return (blk_ref[i, j] + b, 0)
+        return index_map
+
+    for j in range(9):
+        for b in range(nblk):
+            in_specs.append(pl.BlockSpec((T, CG), _wnd_index_map(j, b)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=in_specs,
+        # constant index map: the [9, 3C, Co] accumulator stays VMEM
+        # resident across the whole (sequential) grid
+        out_specs=pl.BlockSpec((9, 3 * C, Co), lambda i, blk_ref: (0, 0, 0)),
+    )
+    dw9 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((9, 3 * C, Co), jnp.float32),
+        interpret=interpret,
+    )(blk, col4, hit4, gp, mask_r, *([fp] * (9 * nblk)))
+    return dw9.reshape(9, 3, C, Co).reshape(27, C, Co)
+
+
+def _f0_like(x):
+    if x is None:
+        return None
+    import numpy as np
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def conv_columns_pallas_ad(groups: int, nblk: int, interpret: bool,
+                           feats, weights, col_idx, hit, out_mask,
+                           blk=None, col_r=None, hit_r=None):
+    """Differentiable fused column conv (no bias/relu epilogue: on the
+    training path BN runs separately in train mode, so the epilogue fold
+    is eval-only).  Forward identical to `conv_columns_pallas`."""
+    out, _ = conv_columns_pallas(feats, col_idx, hit, weights, out_mask,
+                                 groups=groups, nblk=nblk,
+                                 interpret=interpret, blk=blk, col_r=col_r,
+                                 hit_r=hit_r)
+    return out
+
+
+def _ad_fwd(groups, nblk, interpret, feats, weights, col_idx, hit, out_mask,
+            blk=None, col_r=None, hit_r=None):
+    out = conv_columns_pallas_ad(groups, nblk, interpret, feats, weights,
+                                 col_idx, hit, out_mask, blk, col_r, hit_r)
+    return out, (feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r)
+
+
+def _ad_bwd(groups, nblk, interpret, res, g):
+    feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r = res
+    g = jnp.where(out_mask[:, None], g, 0).astype(feats.dtype)
+    # tap-reversed, transposed weights: offset negation reverses
+    # cube_offsets order exactly (k -> 26-k)
+    w_rev = jnp.flip(weights, axis=0).transpose(0, 2, 1)
+    df, _ = conv_columns_pallas(g, col_idx, hit, w_rev, out_mask,
+                                groups=groups, nblk=nblk,
+                                interpret=interpret, blk=blk, col_r=col_r,
+                                hit_r=hit_r, out_dtype=feats.dtype)
+    dw = conv_columns_pallas_dw(feats, g, col_idx, hit, out_mask,
+                                groups=groups, nblk=nblk,
+                                interpret=interpret, blk=blk, col_r=col_r,
+                                hit_r=hit_r)
+    return (df, dw.astype(weights.dtype), _f0_like(col_idx), _f0_like(hit),
+            _f0_like(out_mask), _f0_like(blk), _f0_like(col_r),
+            _f0_like(hit_r))
+
+
+conv_columns_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
+# ---------------------------------------------------------------------------
 # v2: manual double-buffered window DMA.
 #
 # The v1 grid streams 9 columns x nblk aligned T-row blocks per tile through

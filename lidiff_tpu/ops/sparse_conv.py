@@ -106,10 +106,20 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
     cw = weights.astype(COMPUTE_DTYPE)
 
     if USE_PALLAS and allow_pallas and _on_tpu():
-        # pallas_call has no autodiff rule: callers on the differentiated
-        # training path pass allow_pallas=False (blocks gate on `train`)
-        # and get the mathematically-identical XLA implementation below.
-        from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
+        from lidiff_tpu.ops.pallas_conv import (DEFAULT_NBLK,
+                                                conv_columns_pallas,
+                                                conv_columns_pallas_ad)
+        if bias is None and not relu:
+            # differentiable path (custom_vjp: bwd-feats is the same conv
+            # with tap-reversed transposed weights, bwd-weights a slab^T@g
+            # kernel) — the TRAINING convs run the fused kernel too
+            out = conv_columns_pallas_ad(
+                G, DEFAULT_NBLK, False, cf, cw, kmap.col_idx, kmap.hit,
+                out_mask, getattr(kmap, "blk", None),
+                getattr(kmap, "col_r", None), getattr(kmap, "hit_r", None))
+            return out.astype(out_dtype)
+        # fused bias/ReLU epilogue: eval-only (BN folded into the weights),
+        # never differentiated
         out, _ = conv_columns_pallas(cf, kmap.col_idx, kmap.hit, cw,
                                      out_mask, groups=G,
                                      out_dtype=out_dtype,

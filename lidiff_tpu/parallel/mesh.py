@@ -76,3 +76,35 @@ def build_train_step(loss_fn: Callable, optimizer, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def build_sample_fn(task, mesh: Mesh, w_uncond: float | None = None,
+                    solver=None):
+    """Sharded multi-scan batched inference (BASELINE config #5).
+
+    Parameters are replicated; scans shard along the batch axis, each
+    replica running one independent full completion loop — the TPU-native
+    upgrade of the reference's one-scan-at-a-time GPU loop
+    (/root/reference/lidiff/tools/diff_completion_pipeline.py:196-212).
+
+    The per-replica key folds in the replica index, so shard i's scan
+    reproduces exactly what the single-device sampler produces for that
+    scan with fold_in(key, i) (verified by tests/test_parallel.py).
+
+    Returns fn(variables, x_init [B,N,3], part [B,Np,3], key) -> [B,N,3]
+    with B a multiple of the mesh size (B // n_dev scans per replica; size
+    static capacities for the per-replica batch).
+    """
+
+    def replica(variables, x_init, part, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        return task.sample(variables, x_init, key, w_uncond=w_uncond,
+                           solver=solver, part=part)
+
+    fn = jax.shard_map(
+        replica, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)

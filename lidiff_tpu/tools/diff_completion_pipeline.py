@@ -139,6 +139,48 @@ class DiffCompletion:
         refined = self.refine(post)
         return refined, post
 
+    def complete_scans(self, scans: list):
+        """Batched multi-scan completion, sharded across the device mesh
+        when more than one chip is visible (BASELINE config #5; the
+        reference loops scans one at a time on one GPU, reference
+        diff_completion_pipeline.py:196-212). Returns a list of
+        (refined, diff) tuples in input order."""
+        n_dev = len(jax.devices())
+        if n_dev == 1 or len(scans) == 1:
+            return [self.complete_scan(s) for s in scans]
+
+        from lidiff_tpu.parallel import mesh as pmesh
+        if not hasattr(self, "_sharded_fn"):
+            self._mesh = pmesh.make_mesh()
+            self._sharded_fn = pmesh.build_sample_fn(
+                self.task, self._mesh,
+                w_uncond=float(self.cfg["train"]["uncond_w"]),
+                solver=self.solver)
+            # checkpoint restore places arrays on device 0 only; the
+            # sharded sampler needs them replicated across the mesh
+            self._sharded_vars = pmesh.replicate(self._mesh, self.variables)
+
+        results = []
+        for i0 in range(0, len(scans), n_dev):
+            group = scans[i0:i0 + n_dev]
+            pad = n_dev - len(group)
+            group = group + [group[-1]] * pad      # pad the last batch
+            x_init = np.concatenate([self.preprocess_scan(s)
+                                     for s in group], axis=0)
+            part = x_init[:, :self.n_part]
+            self.key, k = jax.random.split(self.key)
+            self._check_overflow(x_init[:1])
+            outs = np.asarray(self._sharded_fn(
+                self._sharded_vars, jnp.asarray(x_init), jnp.asarray(part),
+                k))
+            for b in range(len(group) - pad):
+                post = self.postprocess_scan(outs[b], x_init[b:b + 1])
+                if self.refine_task is None:
+                    results.append((post, post))
+                else:
+                    results.append((self.refine(post), post))
+        return results
+
     def complete_scan_diff(self, scan: np.ndarray) -> np.ndarray:
         """Single-output variant used by eval harnesses (the reference's
         eval_path.py:78 expected this but got a tuple — latent bug there)."""
@@ -212,17 +254,36 @@ def main(diff, refine, denoising_steps, cond_weight, path, out, max_scans):
              if f.endswith((".bin", ".ply", ".npy"))]
     if max_scans:
         files = files[:max_scans]
-    for fname in files:
-        points = load_pcd(os.path.join(path, fname))
-        start = time.time()
-        refined, diff_scan = dc.complete_scan(points)
-        print(f"{fname}: {time.time() - start:.3f}s "
-              f"({len(diff_scan)} diff pts, {len(refined)} refined pts)")
+
+    def _write(fname, refined, diff_scan):
         stem = fname.split(".")[0]
         ply.write_ply(f"{out}/{exp}/refine/{stem}.ply", refined,
                       ply.estimate_normals(refined) if len(refined) else None)
         ply.write_ply(f"{out}/{exp}/diff/{stem}.ply", diff_scan,
                       ply.estimate_normals(diff_scan) if len(diff_scan) else None)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and len(files) > 1:
+        # sharded multi-scan batches: n_dev completions per device round
+        for i0 in range(0, len(files), n_dev):
+            group = files[i0:i0 + n_dev]
+            scans = [load_pcd(os.path.join(path, f)) for f in group]
+            start = time.time()
+            results = dc.complete_scans(scans)
+            dt = time.time() - start
+            for fname, (refined, diff_scan) in zip(group, results):
+                print(f"{fname}: {dt / len(group):.3f}s/scan "
+                      f"({len(diff_scan)} diff pts, "
+                      f"{len(refined)} refined pts)")
+                _write(fname, refined, diff_scan)
+    else:
+        for fname in files:
+            points = load_pcd(os.path.join(path, fname))
+            start = time.time()
+            refined, diff_scan = dc.complete_scan(points)
+            print(f"{fname}: {time.time() - start:.3f}s "
+                  f"({len(diff_scan)} diff pts, {len(refined)} refined pts)")
+            _write(fname, refined, diff_scan)
 
 
 if __name__ == "__main__":

@@ -79,3 +79,28 @@ def test_diffusion_overfits_tiny_scene():
     # the noise-prediction MSE starts near 1.0 (unit noise); learning the
     # scene's local structure must cut it decisively
     assert last < 0.5 * first, (first, last)
+
+    # learning -> sampling loop closure (reference val-loop semantics,
+    # /root/reference/lidiff/models/models.py:219-262): SAMPLING from the
+    # overfit model must reconstruct the training scene decisively better
+    # than sampling from untrained weights — catches solver/slice-back
+    # regressions that leave the training loss intact
+    from lidiff_tpu.utils.metrics import ChamferDistance
+    x_init = jnp.tile(batch["pcd_part"], (1, NF // NP, 1))
+
+    def chamfer_to_scene(vars_):
+        out = np.asarray(task.sample_chunked(
+            vars_, x_init, jax.random.PRNGKey(5),
+            part=batch["pcd_part"]))[0]
+        assert np.isfinite(out).all()
+        cd = ChamferDistance()
+        cd.update(full[0], out)
+        return cd.compute()[0]
+
+    cd_trained = chamfer_to_scene({"params": params, "batch_stats": stats})
+    cd_untrained = chamfer_to_scene(variables)
+    # measured on this seed: trained ~0.97, untrained ~4.98 — the factor-5
+    # gap is the learning signal; the absolute bound catches both samplers
+    # degrading together
+    assert cd_trained < 0.6 * cd_untrained, (cd_trained, cd_untrained)
+    assert cd_trained < 1.5, (cd_trained, cd_untrained)

@@ -150,6 +150,165 @@ def test_tiled_kmap_path_matches(pyramid):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("lv", [0, 2, 4])
+def test_v2_manual_dma_matches_xla(pyramid, lv):
+    """The manual double-buffered DMA variant (conv_columns_pallas_v2) must
+    match the XLA reference exactly — same selectors and GEMMs, only the
+    window streaming differs."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    rng = np.random.default_rng(60 + lv)
+    L = pyramid.levels[lv]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    ref = sc.sparse_conv_columns(jnp.asarray(feats), L.kmap3,
+                                 jnp.asarray(w), L.geom.mask)
+    got, ov = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                     L.kmap3.hit, jnp.asarray(w),
+                                     L.geom.mask, interpret=True)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_v2_grouped_and_epilogue(pyramid):
+    """v2 with G=2 + folded bias/ReLU epilogue matches v1's output."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    rng = np.random.default_rng(71)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co, G = 8, 16, 2
+    feats = rng.normal(0, 1, (V, G * C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    c = rng.normal(0, 0.5, (Co,)).astype(np.float32)
+    v1, _ = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                groups=G, interpret=True,
+                                bias=jnp.asarray(c), relu=True)
+    v2, ov = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                    L.kmap3.hit, jnp.asarray(w),
+                                    L.geom.mask, groups=G, interpret=True,
+                                    bias=jnp.asarray(c), relu=True)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=0, atol=1e-5)
+
+
+def test_v2_tiled_kmap_path_matches(pyramid):
+    """v2 fed the pre-tiled kernel-map layout must match its raw path."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
+    rng = np.random.default_rng(81)
+    L = pyramid.levels[1]
+    g = L.geom
+    V = g.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(g.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    km = build_kmap3_columns_pallas(g, interpret=True)
+    base, _ = conv_columns_pallas_v2(jnp.asarray(feats), km.col_idx,
+                                     km.hit, jnp.asarray(w), g.mask,
+                                     interpret=True)
+    tiled, _ = conv_columns_pallas_v2(jnp.asarray(feats), km.col_idx,
+                                      km.hit, jnp.asarray(w), g.mask,
+                                      interpret=True, blk=km.blk,
+                                      col_r=km.col_r, hit_r=km.hit_r)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("lv", [0, 3])
+def test_custom_vjp_grads_match_xla(pyramid, lv):
+    """The conv's custom_vjp (bwd-feats = tap-reversed transposed-weight
+    conv over the same map; bwd-weights = slab^T@g kernel) must match
+    autodiff through the XLA gather conv to f32 tolerance."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_ad
+    rng = np.random.default_rng(40 + lv)
+    L = pyramid.levels[lv]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    cot = rng.normal(0, 1, (V, Co)).astype(np.float32)
+
+    def loss_xla(f, ww):
+        out = sc.sparse_conv_columns(f, L.kmap3, ww, L.geom.mask,
+                                     allow_pallas=False)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(f, ww):
+        out = conv_columns_pallas_ad(1, 4, True, f, ww, L.kmap3.col_idx,
+                                     L.kmap3.hit, L.geom.mask)
+        return jnp.sum(out * cot)
+
+    df_x, dw_x = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(feats),
+                                                    jnp.asarray(w))
+    df_p, dw_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(feats),
+                                                       jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_x),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                               rtol=0, atol=2e-4)
+
+
+def test_custom_vjp_grads_grouped_and_bigc(pyramid):
+    """Grouped streams (G=2) and the C>128 split path must also
+    differentiate correctly (weights shared across groups sum their
+    contributions)."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_ad
+    rng = np.random.default_rng(77)
+    L = pyramid.levels[3]
+    V = L.geom.capacity
+    G, C, Co = 2, 136, 8     # C>128 exercises the split recursion
+    feats = rng.normal(0, 1, (V, G * C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    cot = rng.normal(0, 1, (V, G * Co)).astype(np.float32)
+
+    def loss_xla(f, ww):
+        out = sc.sparse_conv_columns(f, L.kmap3, ww, L.geom.mask, groups=G,
+                                     allow_pallas=False)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(f, ww):
+        out = conv_columns_pallas_ad(G, 4, True, f, ww, L.kmap3.col_idx,
+                                     L.kmap3.hit, L.geom.mask)
+        return jnp.sum(out * cot)
+
+    df_x, dw_x = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(feats),
+                                                    jnp.asarray(w))
+    df_p, dw_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(feats),
+                                                       jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_x),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                               rtol=0, atol=5e-4)
+
+
+def test_custom_vjp_forward_matches_nonad(pyramid):
+    """The AD wrapper's forward must be bit-identical to the raw kernel."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_ad
+    rng = np.random.default_rng(51)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 1, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    raw, _ = conv_columns_pallas(jnp.asarray(feats), L.kmap3.col_idx,
+                                 L.kmap3.hit, jnp.asarray(w), L.geom.mask,
+                                 interpret=True)
+    ad = conv_columns_pallas_ad(1, 4, True, jnp.asarray(feats),
+                                jnp.asarray(w), L.kmap3.col_idx,
+                                L.kmap3.hit, L.geom.mask)
+    np.testing.assert_array_equal(np.asarray(ad), np.asarray(raw))
+
+
 def test_bias_relu_epilogue(pyramid):
     """Folded conv+BN(+ReLU) epilogue == separate bias-add + relu + mask
     (the eval-mode BN fold, reference BasicConvolutionBlock semantics
