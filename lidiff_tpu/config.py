@@ -49,23 +49,37 @@ def _round8(x: int) -> int:
 # (spatially biased — the highest lexicographic keys go first).
 #
 # Coarse-level fractions are SCALE-DEPENDENT: fewer points over the same
-# 50 m crop merge even less (measured at 20k points on the same scan:
-# L3 ~0.97, L4 ~0.64 — the 180k fractions overflowed there). The table maps
-# point-count regimes to safe fractions; interpolating at the measured
-# operating points with margin.
+# 50 m crop merge even less. Tables are the WORST CASE over three scene
+# families x three point counts (real demo scan 000123.ply, a synthetic
+# dense urban canyon, a synthetic sparse ring road — run
+# `python scripts/measure_occupancy.py --scene all --summary`), plus
+# margin:
+#   N=20k : full worst [1, 1, .996, .966, .772]
+#   N=60k : full worst [1, .998, .982, .876, .508]
+#   N=180k: full worst [.999, .991, .939, .699, .309]
 _FRACTION_TABLE = (
-    (50_000, (1.0, 1.0, 1.0, 1.0, 0.75)),
-    (120_000, (1.0, 1.0, 1.0, 0.95, 0.55)),
+    (50_000, (1.0, 1.0, 1.0, 1.0, 0.85)),
+    (120_000, (1.0, 1.0, 1.0, 0.95, 0.6)),
     (10 ** 12, (1.0, 1.0, 1.0, 0.8, 0.4)),
 )
 DEFAULT_FRACTIONS = _FRACTION_TABLE[-1][1]
 
 # The partial scan is CLEAN (never noised: it conditions the diffusion,
-# reference models.py:192-200), so its coarse levels merge far more than
-# the noisy full cloud's: measured clean occupancy at 18k points is
-# [1.0, 1.0, 0.995, 0.712, 0.324]. Its bank size directly scales the
-# per-stage 1-NN match cost (ops/knn.py), so tight caps matter.
-_PART_FRACTIONS = (1.0, 1.0, 1.0, 0.82, 0.45)
+# reference models.py:192-200), so its coarse levels merge more than the
+# noisy full cloud's — but the effect is scale- and scene-dependent too
+# (small partial banks barely merge at all; dense urban scenes merge less
+# than the demo scan). Worst case measured over the same sweep (keyed by
+# the PARTIAL point count = num_points/10):
+#   n_part=2k : part worst [1, 1, 1, 1, 1]
+#   n_part=6k : part worst [1, 1, 1, 1, .79]
+#   n_part=18k: part worst [1, 1, .995, .762, .541]
+# Its bank size directly scales the per-stage 1-NN match cost
+# (ops/knn.py), so the large-scan caps stay as tight as the data allows.
+_PART_FRACTION_TABLE = (
+    (5_000, (1.0, 1.0, 1.0, 1.0, 1.0)),
+    (12_000, (1.0, 1.0, 1.0, 1.0, 0.9)),
+    (10 ** 12, (1.0, 1.0, 1.0, 0.85, 0.62)),
+)
 
 
 def derive_capacities(num_points: int, fractions=None,
@@ -74,11 +88,8 @@ def derive_capacities(num_points: int, fractions=None,
     fractions of the point count (see _FRACTION_TABLE; `clean` selects the
     un-noised partial-scan table)."""
     if fractions is None:
-        if clean:
-            fractions = _PART_FRACTIONS
-        else:
-            fractions = next(f for lim, f in _FRACTION_TABLE
-                             if num_points <= lim)
+        table = _PART_FRACTION_TABLE if clean else _FRACTION_TABLE
+        fractions = next(f for lim, f in table if num_points <= lim)
     fractions = list(fractions) + [fractions[-1]] * num_levels
     return [_round8(max(int(num_points * fractions[i]), 1024))
             for i in range(num_levels)]
