@@ -148,9 +148,11 @@ class MinkUNetDiff(nn.Module):
 
         # one 1-NN conditioning match per level and bank, shared by the down
         # and up stages that live on that level's coordinate set
+        nb = pyr.point2voxel.shape[0]        # static batch count
         def level_match(l):
             ms = [match_features(l.geom.coords, l.geom.mask, pg.coords,
-                                 pg.mask, pf) for pf, pg in banks]
+                                 pg.mask, pf, n_batch=nb)
+                  for pf, pg in banks]
             return ms[0] if G == 1 else jnp.stack(ms, axis=1)  # [V, G, c4]
         match = [level_match(l) for l in lv]
 

@@ -20,13 +20,15 @@ _BIG = jnp.float32(1e18)
 
 def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
                  r_coords: jnp.ndarray, r_mask: jnp.ndarray,
-                 block: int = 8192) -> jnp.ndarray:
+                 block: int = 8192, n_batch: int = 0) -> jnp.ndarray:
     """For each query voxel, the index of the nearest reference voxel.
 
     Args:
       q_coords: [Vq, 4] int (batch, x, y, z) — ME-style unit-voxel coords.
       q_mask:   [Vq] validity.
       r_coords: [Vr, 4]; r_mask: [Vr].
+      n_batch: static batch count; 1 lets the Pallas kernel drop its
+        per-element batch compare (0 = unknown, keep it).
     Returns:
       [Vq] int32 indices into the reference arrays (arbitrary for invalid
       queries; callers mask downstream).
@@ -34,7 +36,8 @@ def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
     from lidiff_tpu.ops import sparse_conv as sc
     if sc.USE_PALLAS and sc._on_tpu():
         from lidiff_tpu.ops.pallas_knn import nn_match_idx_pallas
-        return nn_match_idx_pallas(q_coords, q_mask, r_coords, r_mask)
+        return nn_match_idx_pallas(q_coords, q_mask, r_coords, r_mask,
+                                   n_batch=n_batch)
 
     Vq = q_coords.shape[0]
     nb = -(-Vq // block)
@@ -63,11 +66,11 @@ def nn_match_idx(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
 
 
 def match_features(q_coords, q_mask, r_coords, r_mask, r_feats,
-                   block: int = 8192) -> jnp.ndarray:
+                   block: int = 8192, n_batch: int = 0) -> jnp.ndarray:
     """Gather the nearest reference voxel's features for every query voxel
     (zeros for invalid queries). The wide (256-ch) gather runs in the
     global compute dtype to halve HBM traffic on the fast path."""
     from lidiff_tpu.ops import sparse_conv as sc
-    idx = nn_match_idx(q_coords, q_mask, r_coords, r_mask, block)
+    idx = nn_match_idx(q_coords, q_mask, r_coords, r_mask, block, n_batch)
     out = r_feats.astype(sc.COMPUTE_DTYPE)[idx].astype(r_feats.dtype)
     return jnp.where(q_mask[:, None], out, 0)

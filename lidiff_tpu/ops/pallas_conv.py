@@ -492,23 +492,35 @@ conv_columns_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
 
 
 # ---------------------------------------------------------------------------
-# v2: manual double-buffered window DMA.
+# v2: manual double-buffered window DMA, minimal windows.
 #
-# The v1 grid streams 9 columns x nblk aligned T-row blocks per tile through
-# pallas's automatic pipeline: 36 small DMAs per grid step whose issue
-# overhead dominates at small C, and whose block alignment forces fetching
-# nblk*T = 4T rows per column when the true span is ~2.5T.  v2 keeps the
-# same math (identical selectors and GEMMs) but copies each column's window
-# with ONE unaligned DMA of W=3.5T rows directly from HBM, double-buffered
-# by hand across grid steps: 9 DMA issues per tile instead of 36, and
-# 12.5% less window traffic.
+# The per-output-row cost of the one-hot gather GEMM (and of the selector
+# iota-compares on the VPU) is W x G*C — INDEPENDENT of the tile size T —
+# so the lever that matters is minimizing W itself.  The v1 grid streams
+# 9 columns x nblk T-ALIGNED T-row blocks per tile through pallas's
+# automatic pipeline: block alignment forces W = nblk*T = 4T = 512 rows
+# when the measured span at T=128 is <=249 (real-scan kmaps across noise
+# levels sig in {1.0, 0.4, 0.1}, all 5 levels — scripts in BENCH_NOTES).
+# v2 keeps the same selector math but copies each column's window with ONE
+# 32-row-aligned DMA of W rows directly from HBM (9 issues per tile,
+# double-buffered by hand), so W only needs span(T) + 31 alignment slack +
+# margin: W=320 at T=128 is 1.6x less gather-GEMM and selector work per
+# row than v1's 512, plus 1.6x less window HBM traffic.
+#
+# Window starts are aligned down to 32 rows (the bf16 sublane tile is 16
+# rows; 8-row alignment put bf16 DMAs on the slow unaligned path).
+# Narrow convs (G*C < 128) pad the feature lanes to the 128-lane tile the
+# DMA slice requires; the zero lanes are never read by the slab slices.
+# Out-of-window taps contribute zero and are counted exactly by the
+# prolog, like v1.
 # ---------------------------------------------------------------------------
 
-W_ROWS = 448        # manual window rows (3.5 * TILE); covers measured spans
+TILE_V2 = 128       # v2 output rows per grid step
+W_ROWS = 320        # manual window rows: span(128)<=249 + 31 align + margin
 
 
-def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int):
-    W = W_ROWS
+def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
+                    W: int, CGp: int):
 
     def kernel(lo_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref,
                feats_any, o_ref, wnd, sems):
@@ -517,7 +529,7 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int):
 
         def issue(step, slot):
             for j in range(9):
-                st = pl.multiple_of(lo_ref[step, j], 8)
+                st = pl.multiple_of(lo_ref[step, j], 32)
                 pltpu.make_async_copy(
                     feats_any.at[pl.ds(st, W), :],
                     wnd.at[slot, j], sems.at[slot, j]).start()
@@ -532,7 +544,7 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int):
 
         slot = i % 2
         for j in range(9):
-            st = pl.multiple_of(lo_ref[i, j], 8)
+            st = pl.multiple_of(lo_ref[i, j], 32)
             pltpu.make_async_copy(
                 feats_any.at[pl.ds(st, W), :],
                 wnd.at[slot, j], sems.at[slot, j]).wait()
@@ -550,7 +562,7 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int):
             sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
                               jnp.float32(1), jnp.float32(0)).astype(dt)
                     for m, r in ((m0, r0), (m1, r1), (m2, r2))]
-            win = wnd[slot, j]                        # [W, G*C]
+            win = wnd[slot, j]                        # [W, CGp]
             gz = [jnp.dot(sel, win, preferred_element_type=jnp.float32)
                   for sel in sels]
             w3 = w_ref[j]
@@ -573,12 +585,14 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "interpret", "out_dtype",
-                                    "relu"))
+                                    "relu", "tile", "wrows"))
 def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                            groups: int = 1, interpret: bool = False,
                            out_dtype=None,
                            blk=None, col_r=None, hit_r=None,
-                           bias=None, relu: bool = False):
+                           bias=None, relu: bool = False,
+                           tile: int | None = None,
+                           wrows: int | None = None):
     """Manual-DMA variant of conv_columns_pallas (identical math)."""
     V, CG = feats.shape
     Kt, C, Co = weights.shape
@@ -586,7 +600,9 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     assert Kt == 27 and CG == G * C
     dt = feats.dtype
 
-    c_max = 256 if dt == jnp.bfloat16 else 128
+    # keep C parts <=128 so the [2, 9, W, G*C] double buffer + weights
+    # stay inside VMEM
+    c_max = 128
     if C > c_max:
         n_parts = -(-C // c_max)
         h = (-(-C // n_parts) + 7) & ~7
@@ -599,7 +615,8 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                 f3[:, :, a:b].reshape(V, G * (b - a)), col_idx, hit,
                 weights[:, a:b, :], out_mask, groups=G,
                 interpret=interpret, out_dtype=jnp.float32,
-                blk=blk, col_r=col_r, hit_r=hit_r)
+                blk=blk, col_r=col_r, hit_r=hit_r,
+                tile=tile, wrows=wrows)
             acc = out_p if acc is None else acc + out_p
             ov1 = ov_p if ov1 is None else ov1
         if bias is not None:
@@ -611,48 +628,58 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         odt = dt if out_dtype is None else out_dtype
         return acc.astype(odt), ov1
 
-    T = TILE
-    W = W_ROWS
+    T = TILE_V2 if tile is None else tile
+    W = W_ROWS if wrows is None else wrows
     nt = max(pl.cdiv(V, T), -(-W // T))
     Vp = nt * T
     odt = dt if out_dtype is None else out_dtype
 
-    fp = jnp.pad(feats, ((0, Vp - V), (0, 0)))
+    # the manual HBM window DMA slices a full (128) lane tile: pad narrow
+    # feature widths (stem / first stage) with zero lanes the slab slices
+    # never read
+    CGp = max(CG, 128)
+    fp = jnp.pad(feats, ((0, Vp - V), (0, CGp - CG)))
     om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
     mask_r = om.reshape(nt, 1, T)
 
     if col_r is not None and hit_r is not None:
-        assert col_r.shape == (nt, 9, T) and hit_r.shape == (nt, 27, T)
-        first = col_r[:, :, 0]                               # [nt, 9]
-        last = col_r[:, :, T - 1]
-        col4 = col_r.reshape(nt, 9, 1, T)
-        hit4 = hit_r.reshape(nt, 9, 3, T)
+        # regroup the kernel-map builder's TILE(=128)-row layout into
+        # T-row tiles (pad tiles carry hit=0 -> exact zero, masked output)
+        ntb = col_r.shape[0]
+        assert col_r.shape == (ntb, 9, TILE) and \
+            hit_r.shape == (ntb, 27, TILE)
+        ptiles = Vp // TILE - ntb
+        cr = jnp.pad(col_r, ((0, ptiles), (0, 0), (0, 0)))
+        hr = jnp.pad(hit_r, ((0, ptiles), (0, 0), (0, 0)))
+        r = T // TILE
+        col4 = (cr.reshape(nt, r, 9, TILE).transpose(0, 2, 1, 3)
+                .reshape(nt, 9, 1, T))
+        hit4 = (hr.reshape(nt, r, 9, 3, TILE).transpose(0, 2, 3, 1, 4)
+                .reshape(nt, 9, 3, T))
     else:
         ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
         ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
-        first = ci[::T]
-        last = ci[T - 1::T]
         col4 = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
                 .reshape(nt, 9, 1, T))
         hit4 = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
+    first = col4[:, :, 0, 0]                                 # [nt, 9]
 
-    # window starts aligned down to the (8,128) sublane tile so the DMA
-    # slice is tile-aligned; W covers the measured spans plus the <=7-row
-    # alignment slack
-    lo = ((jnp.clip(first, 0, Vp - W) // 8) * 8).astype(jnp.int32)
+    # window starts aligned down to 32 rows (covers the bf16 16-row
+    # sublane tile; 8-row alignment puts bf16 DMAs on the slow unaligned
+    # path); W covers the measured spans plus the <=31-row slack
+    lo = ((jnp.clip(first, 0, Vp - W) // 32) * 32).astype(jnp.int32)
     # hit-aware overflow: only taps that actually HIT but fall outside the
     # window are real drops (span-only counting over-counts on sparse data)
     rel = col4[:, :, 0, :] - lo[:, :, None]                  # [nt, 9, T]
     overflow = _window_overflow(rel.transpose(0, 2, 1),
                                 hit4.transpose(0, 3, 1, 2), W)
-    del last
 
     if bias is None:
         bias = jnp.zeros((Co,), jnp.float32)
     bias2 = jnp.asarray(bias, jnp.float32).reshape(1, Co)
     w3 = weights.astype(dt).reshape(9, 3 * C, Co)
 
-    kernel = _make_kernel_v2(T, C, Co, G, relu, nt)
+    kernel = _make_kernel_v2(T, C, Co, G, relu, nt, W, CGp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -666,7 +693,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         ],
         out_specs=pl.BlockSpec((T, G * Co), lambda i, lo_ref: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, W, CG), dt),
+            pltpu.VMEM((2, 9, W, CGp), dt),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )

@@ -10,11 +10,25 @@ blocks) with the reference dimension innermost, computing one [T, R] cross
 GEMM on the MXU per step and folding it into a running (min, argmin)
 carried in VMEM scratch — the flash-attention reduction pattern.
 
-Distances use the same |r|^2 - 2 q.r decomposition with exact f32
-arithmetic (voxel coordinates are small ints, so products are exact in
-f32) and the same tie-breaking (first minimum overall: strictly-less
-updates across blocks, first-index ties within a block) and batch/validity
-penalties as the XLA path, so the selected indices match it exactly.
+The reduction is VPU-bound, so the kernel minimizes full-[T, R] passes:
+
+  * the invalid-reference penalty is folded into |r|^2 OUTSIDE the kernel
+    (one prolog add on [Vr]), and the batch-id compare is skipped entirely
+    when the caller declares a single-sample batch (`n_batch=1`, the
+    sampling pipeline's case) — penalties cost zero in-kernel passes;
+  * distances are exact integers (voxel coordinates are small ints, so
+    the |r|^2 - 2 q.r + |q|^2 form is exact in f32 up to 2^24, far above
+    the max in-crop distance^2), so ONE int32 pack `d * 16 + register_group`
+    survives the cheap register-tree min reduction with its coarse index
+    intact; the lane is recovered from the surviving [T, 128] tile.  The
+    pack keeps first-index tie-breaking exact: candidates with minimal d
+    resolve to the smallest register group (packed low bits), then the
+    smallest lane (final masked-iota pass), i.e. the smallest in-block
+    index — matching XLA argmin.
+
+Batch/validity semantics and the selected indices match the XLA path
+exactly (strictly-less updates across blocks keep the earliest block on
+distance ties).
 """
 
 from __future__ import annotations
@@ -29,39 +43,50 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e18
 QTILE = 512
 RBLK = 2048
+_PEN = float(2 ** 24)      # invalid-ref distance offset (> any valid d^2)
+_PENB = float(2 ** 25)     # cross-batch distance (> any penalized d^2)
 
 
-def _make_kernel(T: int, R: int, nr: int):
+def _make_kernel(T: int, R: int, nr: int, batched: bool):
+    ng = R // 128
 
-    def kernel(q_ref, rx_ref, rsq_ref, o_ref, mbest, ibest):
+    def kernel(q_ref, rx_ref, rsq_ref, o_ref, dbest, ibest):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _init():
-            mbest[:] = jnp.full((T, 1), jnp.float32(_BIG * 2))
+            dbest[:] = jnp.full((T, 1), jnp.int32(2 ** 30))
             ibest[:] = jnp.zeros((T, 1), jnp.int32)
 
         q = q_ref[0]                                 # [T, 8] f32
         q_xyz = q[:, 1:4]
-        q_b = q[:, 0:1]
+        qsq = jnp.sum(q_xyz * q_xyz, axis=1, keepdims=True)  # [T, 1]
         rx = rx_ref[:]                               # [8, R]
         cross = jax.lax.dot_general(
             q_xyz, rx[1:4],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)     # [T, R]
-        d = rsq_ref[0][None, :] - 2.0 * cross
-        r_b = rx[4]
-        r_bad = rx[5]
-        d = jnp.where((q_b != r_b[None, :]) | (r_bad[None, :] != 0),
-                      jnp.float32(_BIG), d)
-        m = jnp.min(d, axis=1, keepdims=True)        # [T, 1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
-        li = jnp.min(jnp.where(d == m, iota, jnp.int32(2 ** 30)),
-                     axis=1, keepdims=True)          # [T, 1]
-        better = m < mbest[:]
-        mbest[:] = jnp.where(better, m, mbest[:])
-        ibest[:] = jnp.where(better, li + j * R, ibest[:])
+        # exact nonnegative int-valued distance^2; invalid refs carry +2^24
+        # from the prolog fold
+        d = (qsq + rsq_ref[0][None, :]) - 2.0 * cross
+        if batched:
+            q_b = q[:, 0:1]
+            d = jnp.where(q_b != rx[4][None, :], jnp.float32(_PENB), d)
+        gid = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1) // 128
+        e = d.astype(jnp.int32) * 16 + gid           # packed (d, group)
+        # register-tree min keeps the packed group; lexicographic
+        # (d, group) order == first-index order at the group granularity
+        r1 = jnp.min(e.reshape(T, ng, 128), axis=1)  # [T, 128]
+        m = jnp.min(r1, axis=1, keepdims=True)       # [T, 1] packed
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+        lane = jnp.min(jnp.where(r1 == m, lane_iota, jnp.int32(2 ** 30)),
+                       axis=1, keepdims=True)        # [T, 1]
+        dm = m // 16                                 # unpacked distance
+        ib = (m - dm * 16) * 128 + lane              # in-block index
+        better = dm < dbest[:]                       # strictly-less: ties
+        dbest[:] = jnp.where(better, dm, dbest[:])   # keep earliest block
+        ibest[:] = jnp.where(better, ib + j * R, ibest[:])
 
         @pl.when(j == nr - 1)
         def _fin():
@@ -70,14 +95,16 @@ def _make_kernel(T: int, R: int, nr: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "n_batch"))
 def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
                         r_coords: jnp.ndarray, r_mask: jnp.ndarray,
-                        *, interpret: bool = False) -> jnp.ndarray:
+                        *, interpret: bool = False,
+                        n_batch: int = 0) -> jnp.ndarray:
     """For each query voxel, the index of the nearest reference voxel.
 
     Same contract as ops.knn.nn_match_idx (indices arbitrary for invalid
-    queries; callers mask downstream).
+    queries; callers mask downstream).  `n_batch=1` statically removes the
+    per-element batch compare (0 = unknown, keep it).
     """
     Vq = q_coords.shape[0]
     Vr = r_coords.shape[0]
@@ -94,17 +121,18 @@ def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
     rc = r_coords.astype(jnp.float32)
     r_xyz = rc[:, 1:]
     rsq = jnp.sum(r_xyz * r_xyz, axis=-1)
-    # rx rows: 0 unused, 1..3 xyz^T, 4 batch id, 5 invalid flag, 6-7 pad
+    rsq = rsq + (~r_mask).astype(jnp.float32) * _PEN
+    # rx rows: 0 unused, 1..3 xyz^T, 4 batch id, 5-7 pad
     rx = jnp.stack([
         jnp.zeros((Vr,), jnp.float32), r_xyz[:, 0], r_xyz[:, 1],
-        r_xyz[:, 2], rc[:, 0], (~r_mask).astype(jnp.float32),
+        r_xyz[:, 2], rc[:, 0], jnp.zeros((Vr,), jnp.float32),
         jnp.zeros((Vr,), jnp.float32), jnp.zeros((Vr,), jnp.float32),
     ])                                               # [8, Vr]
     rx = jnp.pad(rx, ((0, 0), (0, Vrp - Vr)))
-    rx = rx.at[5, Vr:].set(1.0)                      # pad refs invalid
-    rsq = jnp.pad(rsq, (0, Vrp - Vr)).reshape(1, Vrp)
+    rsq = jnp.pad(rsq, (0, Vrp - Vr),
+                  constant_values=_PEN).reshape(1, Vrp)  # pad refs invalid
 
-    kernel = _make_kernel(T, R, nr)
+    kernel = _make_kernel(T, R, nr, n_batch != 1)
     out = pl.pallas_call(
         kernel,
         grid=(nq, nr),
@@ -115,7 +143,7 @@ def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, 1, T), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nq, 1, T), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((T, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
                         pltpu.VMEM((T, 1), jnp.int32)],
         interpret=interpret,
     )(q3, rx, rsq)

@@ -55,3 +55,26 @@ def test_cross_batch_never_matches():
     rb = np.asarray(rc)[:, 0]
     v = np.asarray(qm)
     assert (rb[g[v]] == qb[v]).all()
+
+
+def test_single_batch_static_path():
+    """n_batch=1 statically removes the batch compare; results must still
+    match the XLA path exactly."""
+    rng = np.random.default_rng(3)
+    qc, qm, rc, rm = _mk(rng, 2000, 500, b=1)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def test_multi_block_ties_keep_first():
+    """Vr spanning several reference blocks: cross-block distance ties must
+    keep the earliest block's index (argmin first-index semantics)."""
+    rng = np.random.default_rng(4)
+    qc, qm, rc, rm = _mk(rng, 700, 5000, b=1, lim=6)  # nr > 2, dense ties
+    rm = jnp.ones_like(rm)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
