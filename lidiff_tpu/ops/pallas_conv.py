@@ -79,6 +79,33 @@ def _window_overflow(r0, hit_z, W):
             + jnp.sum((m2 != 0) & _oob(r2))).astype(jnp.int32)
 
 
+def window_overflow_for_geometry(col_r, hit_r, tile: int, wrows: int):
+    """Dropped-tap count the v2 conv kernel would incur at (tile, wrows)
+    on this kernel map — same regroup + 32-row-aligned window start as
+    `conv_columns_pallas_v2`.  Lets the kernel-map builder surface one
+    exact per-level counter for every dispatch geometry in use.
+
+    Args: col_r [nt, 9, TILE] int32, hit_r [nt, 27, TILE] (builder layout).
+    """
+    nt0 = col_r.shape[0]
+    Vp0 = nt0 * TILE
+    r = tile // TILE
+    nt = max(-(-Vp0 // tile), -(-wrows // tile))
+    Vp = nt * tile
+    ptiles = Vp // TILE - nt0
+    cr = jnp.pad(col_r, ((0, ptiles), (0, 0), (0, 0)))
+    hr = jnp.pad(hit_r, ((0, ptiles), (0, 0), (0, 0)))
+    col = (cr.reshape(nt, r, 9, TILE).transpose(0, 2, 1, 3)
+           .reshape(nt, 9, tile))
+    hit = (hr.reshape(nt, r, 9, 3, TILE).transpose(0, 2, 3, 1, 4)
+           .reshape(nt, 9, 3, tile))
+    first = col[:, :, 0]
+    lo = ((jnp.clip(first, 0, Vp - wrows) // 32) * 32).astype(jnp.int32)
+    rel = col - lo[:, :, None]
+    return _window_overflow(rel.transpose(0, 2, 1),
+                            hit.transpose(0, 3, 1, 2), wrows)
+
+
 def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int, relu: bool):
     """Kernel body for one output tile: all 9 columns unrolled."""
 
@@ -454,11 +481,11 @@ def conv_columns_pallas_ad(groups: int, nblk: int, interpret: bool,
                            blk=None, col_r=None, hit_r=None):
     """Differentiable fused column conv (no bias/relu epilogue: on the
     training path BN runs separately in train mode, so the epilogue fold
-    is eval-only).  Forward identical to `conv_columns_pallas`."""
-    out, _ = conv_columns_pallas(feats, col_idx, hit, weights, out_mask,
-                                 groups=groups, nblk=nblk,
-                                 interpret=interpret, blk=blk, col_r=col_r,
-                                 hit_r=hit_r)
+    is eval-only).  Forward identical to `conv_columns_pallas`; runs the
+    size-dispatched kernel geometry (nblk only shapes the dw kernel)."""
+    out, _ = conv_columns_dispatch(feats, col_idx, hit, weights, out_mask,
+                                   groups=groups, interpret=interpret,
+                                   blk=blk, col_r=col_r, hit_r=hit_r)
     return out
 
 
@@ -475,10 +502,10 @@ def _ad_bwd(groups, nblk, interpret, res, g):
     # tap-reversed, transposed weights: offset negation reverses
     # cube_offsets order exactly (k -> 26-k)
     w_rev = jnp.flip(weights, axis=0).transpose(0, 2, 1)
-    df, _ = conv_columns_pallas(g, col_idx, hit, w_rev, out_mask,
-                                groups=groups, nblk=nblk,
-                                interpret=interpret, blk=blk, col_r=col_r,
-                                hit_r=hit_r, out_dtype=feats.dtype)
+    df, _ = conv_columns_dispatch(g, col_idx, hit, w_rev, out_mask,
+                                  groups=groups, interpret=interpret,
+                                  blk=blk, col_r=col_r, hit_r=hit_r,
+                                  out_dtype=feats.dtype)
     dw = conv_columns_pallas_dw(feats, g, col_idx, hit, out_mask,
                                 groups=groups, nblk=nblk,
                                 interpret=interpret, blk=blk, col_r=col_r,
@@ -634,10 +661,10 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     Vp = nt * T
     odt = dt if out_dtype is None else out_dtype
 
-    # the manual HBM window DMA slices a full (128) lane tile: pad narrow
-    # feature widths (stem / first stage) with zero lanes the slab slices
-    # never read
-    CGp = max(CG, 128)
+    # the manual HBM window DMA slices whole (128) lane tiles: pad feature
+    # widths (stem 64, the 96-channel up stages' 192, ...) up to the next
+    # 128 multiple with zero lanes the slab slices never read
+    CGp = -(-max(CG, 128) // 128) * 128
     fp = jnp.pad(feats, ((0, Vp - V), (0, CGp - CG)))
     om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
     mask_r = om.reshape(nt, 1, T)
@@ -704,3 +731,30 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         interpret=interpret,
     )(lo, col4, hit4, w3, mask_r, bias2, fp)
     return out[:V], overflow
+
+
+# Size-based dispatch, from a real-scan A/B at 180k points (BENCH_NOTES,
+# round 3): narrow convs are per-grid-step-overhead-bound, so the big-tile
+# variant wins (C=32: 3.80 vs 5.99 ms v1, C=64: 3.18 vs 5.07); wide convs
+# are bound by the W x G*C gather GEMM, so the minimal-window variant wins
+# (C=128 G=2: 7.66 vs 8.95 ms v1, C=256 G=2 split: 16.0 vs 20.0).  The
+# two geometries here are the ONLY ones production convs run; the kernel-
+# map builder counts window overflow for exactly these (pallas_kmap.py).
+DISPATCH_WIDE = (128, 320)     # (tile, wrows) for leaf G*C >= 256
+DISPATCH_NARROW = (256, 480)   # for leaf G*C <= 128
+
+
+def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
+                          groups: int = 1, interpret: bool = False,
+                          out_dtype=None, blk=None, col_r=None, hit_r=None,
+                          bias=None, relu: bool = False):
+    """The production column conv: picks the fastest measured kernel
+    geometry for the conv's width.  Identical math to v1/v2 (exact)."""
+    G = groups
+    C = weights.shape[1]
+    t, w = DISPATCH_NARROW if G * min(C, 128) <= 128 else DISPATCH_WIDE
+    return conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask,
+                                  groups=G, interpret=interpret,
+                                  out_dtype=out_dtype, blk=blk,
+                                  col_r=col_r, hit_r=hit_r, bias=bias,
+                                  relu=relu, tile=t, wrows=w)

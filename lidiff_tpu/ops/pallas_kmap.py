@@ -178,10 +178,19 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
     # outside the nblk window. Dropped taps are never garbage, but they are
     # silent quality loss, so every one is counted (including z/z+s taps
     # whose base tap missed). Surfaced per level via Pyramid.
-    from lidiff_tpu.ops.pallas_conv import _window_overflow
+    from lidiff_tpu.ops.pallas_conv import (DISPATCH_NARROW, DISPATCH_WIDE,
+                                            _window_overflow,
+                                            window_overflow_for_geometry)
     r0 = (col_r - blk[:, :, None] * T).transpose(0, 2, 1)   # [nt, T, 9]
     hit_z = hit_r.reshape(nt, 9, 3, T).transpose(0, 3, 1, 2)
     overflow = _window_overflow(r0, hit_z, nblk * T)
+    # ...plus the drops each production conv geometry would incur on this
+    # map (the per-call counters are discarded in sparse_conv; this single
+    # per-level counter is the one Pyramid surfaces). Builder drops above
+    # have hit=0, so they are not double counted here.
+    for tile_w in (DISPATCH_NARROW, DISPATCH_WIDE):
+        overflow = overflow + window_overflow_for_geometry(
+            col_r, hit_r, *tile_w)
 
     # attach the tiled layout so every conv sharing this map skips its
     # prolog (pad + transposes) and feeds the fused kernel directly

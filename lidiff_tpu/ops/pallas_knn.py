@@ -10,25 +10,39 @@ blocks) with the reference dimension innermost, computing one [T, R] cross
 GEMM on the MXU per step and folding it into a running (min, argmin)
 carried in VMEM scratch — the flash-attention reduction pattern.
 
-The reduction is VPU-bound, so the kernel minimizes full-[T, R] passes:
+The reduction is VPU-bound, so the kernel drives the per-element op count
+to its floor and then prunes whole blocks:
 
-  * the invalid-reference penalty is folded into |r|^2 OUTSIDE the kernel
-    (one prolog add on [Vr]), and the batch-id compare is skipped entirely
-    when the caller declares a single-sample batch (`n_batch=1`, the
-    sampling pipeline's case) — penalties cost zero in-kernel passes;
-  * distances are exact integers (voxel coordinates are small ints, so
-    the |r|^2 - 2 q.r + |q|^2 form is exact in f32 up to 2^24, far above
-    the max in-crop distance^2), so ONE int32 pack `d * 16 + register_group`
-    survives the cheap register-tree min reduction with its coarse index
-    intact; the lane is recovered from the surviving [T, 128] tile.  The
-    pack keeps first-index tie-breaking exact: candidates with minimal d
-    resolve to the smallest register group (packed low bits), then the
-    smallest lane (final masked-iota pass), i.e. the smallest in-block
-    index — matching XLA argmin.
+  * the XLA path ranks by d = |r|^2 - 2 q.r (the per-query |q|^2 shift
+    never changes an argmin).  Voxel coordinates are small ints
+    (|c| <= ~1100 in-crop; exactness headroom to |c| <= 1280), so
+    -2 q.r is integer-exact in f32 (< 2^24) straight out of the GEMM.
+    Everything else is precomputed per REFERENCE COLUMN into one int32
+    row: rsqo16[r] = (|r|^2 + OFFS + invalid*PEN) * 16 + lane_group(r),
+    so the in-kernel work per [T, R] element is exactly
+        e = int(cross) * 16 + rsqo16   (cast, shift, add)
+    plus one compare in the min tree — 4 VPU ops (the committed round-2
+    kernel spent ~7 and a [T,R] -> [T,ng,128] relayout).  OFFS keeps the
+    packed value nonnegative; the *16 + group pack preserves exact
+    first-index tie-breaking (min e == lexicographic (d, group), then the
+    earliest lane inside the surviving [T, 128] tile).
+  * the min tree is an unrolled 128-lane-aligned slice chain (no in-kernel
+    reshape/relayout of the [T, R] tile).
+  * EXACT block pruning (`prune=True`, on by default for big ref sets):
+    a cheap XLA prolog computes, per query tile, an upper bound u^2 on
+    every query's true NN distance from a U-row window of refs around the
+    tile's key anchor (refs and queries are both lex-sorted, so key
+    neighbors are spatial neighbors in x); a [T, R] block whose packed-key
+    gap to the tile satisfies gap^2 > max_q u^2(q) provably contains no
+    query's argmin (d >= gap > u >= d_best, strictly), so the kernel skips
+    its GEMM + reduction entirely via a prefetched ok-mask.  Cross-batch
+    blocks prune automatically (key gap >= COORD_SPAN).  The result is
+    bit-identical to the unpruned kernel.
 
 Batch/validity semantics and the selected indices match the XLA path
 exactly (strictly-less updates across blocks keep the earliest block on
-distance ties).
+distance ties; `n_batch=1` statically removes the per-element batch
+compare — the sampling pipeline's case).
 """
 
 from __future__ import annotations
@@ -40,17 +54,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 1e18
+from lidiff_tpu.ops import keys as K
+
 QTILE = 512
 RBLK = 2048
-_PEN = float(2 ** 24)      # invalid-ref distance offset (> any valid d^2)
-_PENB = float(2 ** 25)     # cross-batch distance (> any penalized d^2)
+UWND = 512                  # upper-bound window rows (prune prolog)
+_COORD_LIM = 1280           # |coord| bound for f32-exact -2 q.r (< 2^24)
+_OFFS = 2 * 3 * _COORD_LIM * _COORD_LIM   # >= max |2 q.r|: keeps e >= 0
+_PEN = 1 << 25              # invalid-ref shift (> any valid shifted d)
+_BIG = 1e18                 # XLA-path penalty (prolog math only)
 
 
-def _make_kernel(T: int, R: int, nr: int, batched: bool):
+def _make_kernel(T: int, R: int, nr: int, batched: bool, prune: bool):
     ng = R // 128
 
-    def kernel(q_ref, rx_ref, rsq_ref, o_ref, dbest, ibest):
+    def kernel(*args):
+        if prune:
+            ok_ref, q_ref, rx_ref, rsqo_ref, o_ref, dbest, ibest = args
+        else:
+            q_ref, rx_ref, rsqo_ref, o_ref, dbest, ibest = args
+        i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -58,41 +81,96 @@ def _make_kernel(T: int, R: int, nr: int, batched: bool):
             dbest[:] = jnp.full((T, 1), jnp.int32(2 ** 30))
             ibest[:] = jnp.zeros((T, 1), jnp.int32)
 
-        q = q_ref[0]                                 # [T, 8] f32
-        q_xyz = q[:, 1:4]
-        qsq = jnp.sum(q_xyz * q_xyz, axis=1, keepdims=True)  # [T, 1]
-        rx = rx_ref[:]                               # [8, R]
-        cross = jax.lax.dot_general(
-            q_xyz, rx[1:4],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # [T, R]
-        # exact nonnegative int-valued distance^2; invalid refs carry +2^24
-        # from the prolog fold
-        d = (qsq + rsq_ref[0][None, :]) - 2.0 * cross
-        if batched:
-            q_b = q[:, 0:1]
-            d = jnp.where(q_b != rx[4][None, :], jnp.float32(_PENB), d)
-        gid = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1) // 128
-        e = d.astype(jnp.int32) * 16 + gid           # packed (d, group)
-        # register-tree min keeps the packed group; lexicographic
-        # (d, group) order == first-index order at the group granularity
-        r1 = jnp.min(e.reshape(T, ng, 128), axis=1)  # [T, 128]
-        m = jnp.min(r1, axis=1, keepdims=True)       # [T, 1] packed
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
-        lane = jnp.min(jnp.where(r1 == m, lane_iota, jnp.int32(2 ** 30)),
-                       axis=1, keepdims=True)        # [T, 1]
-        dm = m // 16                                 # unpacked distance
-        ib = (m - dm * 16) * 128 + lane              # in-block index
-        better = dm < dbest[:]                       # strictly-less: ties
-        dbest[:] = jnp.where(better, dm, dbest[:])   # keep earliest block
-        ibest[:] = jnp.where(better, ib + j * R, ibest[:])
+        def compute():
+            q = q_ref[0]                             # [T, 8] f32
+            rx = rx_ref[:]                           # [8, R] rows 1..3=-2xyz
+            cross = jax.lax.dot_general(
+                q[:, 1:4], rx[1:4],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # = -2 q.r, exact
+            e = cross.astype(jnp.int32) * 16 + rsqo_ref[0][None, :]
+            if batched:
+                e = jnp.where(q[:, 0:1] != rx[4][None, :],
+                              jnp.int32(2 ** 30), e)
+            # unrolled lane-aligned min tree (slices are free; no relayout)
+            r1 = e[:, 0:128]
+            for k in range(1, ng):
+                r1 = jnp.minimum(r1, e[:, k * 128:(k + 1) * 128])
+            m = jnp.min(r1, axis=1, keepdims=True)   # [T, 1] packed
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+            lane = jnp.min(jnp.where(r1 == m, lane_iota,
+                                     jnp.int32(2 ** 30)),
+                           axis=1, keepdims=True)    # [T, 1]
+            dm = m // 16                             # shifted distance
+            ib = (m - dm * 16) * 128 + lane          # in-block index
+            better = dm < dbest[:]                   # strictly-less: ties
+            dbest[:] = jnp.where(better, dm, dbest[:])  # keep first block
+            ibest[:] = jnp.where(better, ib + j * R, ibest[:])
+
+        if prune:
+            pl.when(ok_ref[i, j] != 0)(compute)
+        else:
+            compute()
 
         @pl.when(j == nr - 1)
         def _fin():
             o_ref[0, 0] = ibest[:, 0]
 
     return kernel
+
+
+def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
+                batched):
+    """ok[i, j]: may ref block j contain some tile-i query's 1-NN?
+
+    Upper bound u^2 per query from a UWND-row ref window anchored by
+    key-order binary search; block gap from packed hi keys
+    (batch * COORD_SPAN + x), which lower-bounds the geometric distance
+    within a batch and auto-prunes cross-batch blocks.
+    """
+    U = UWND
+    rc = r_coords
+    r_hi, r_lo, _ = K.pack(rc[:, 0], rc[:, 1:])
+    q_all = q3.reshape(nq * T, 8)
+    qi = q_all[::T].astype(jnp.int32)                 # tile-first queries
+    a_hi, a_lo, _ = K.pack(qi[:, 0], qi[:, 1:4])
+    pos, _ = K.searchsorted_pair(r_hi, r_lo, a_hi, a_lo)   # [nq]
+    a0 = jnp.clip(pos - U // 4, 0, max(Vr - U, 0))
+    widx = a0[:, None] + jnp.arange(U)[None, :]       # [nq, U]
+
+    uw = rc[widx]                                     # [nq, U, 4] int32
+    uw_xyz = uw[:, :, 1:].astype(jnp.float32)
+    ursq = rsq_shift[widx].astype(jnp.float32)        # rsq (+PEN invalid)
+    qt = q3[:, :, 0:4]                                # [nq, T, 4]
+    cross = jnp.einsum("ntc,nuc->ntu", qt[:, :, 1:], uw_xyz,
+                       preferred_element_type=jnp.float32)
+    d = ursq[:, None, :] - 2.0 * cross                # [nq, T, U]
+    if batched:
+        d = jnp.where(qt[:, :, 0:1] != uw[:, None, :, 0].astype(
+            jnp.float32), jnp.float32(_BIG), d)
+    qsq = jnp.sum(qt[:, :, 1:] * qt[:, :, 1:], axis=-1)     # [nq, T]
+    u2 = jnp.min(d, axis=2) + qsq                     # true u^2 (approx ok)
+    u2 = jnp.where(q_mask.reshape(nq, T), u2, 0.0)
+    u2m = jnp.max(u2, axis=1) + 8.0                   # [nq] (+ulp margin)
+
+    # tile/block ranges in the hi key (batch, x): monotone under lexsort
+    q_hi, _, _ = K.pack(q_all[:, 0].astype(jnp.int32),
+                        q_all[:, 1:4].astype(jnp.int32))
+    q_hi = q_hi.reshape(nq, T)
+    qmk = q_mask.reshape(nq, T)
+    th0 = jnp.min(jnp.where(qmk, q_hi, jnp.int32(2 ** 31 - 1)), axis=1)
+    th1 = jnp.max(jnp.where(qmk, q_hi, jnp.int32(-2 ** 31)), axis=1)
+    rh = jnp.pad(r_hi, (0, nr * R - Vr), constant_values=K.HI_PAD)
+    rh = rh.reshape(nr, R)
+    # min/max (not first/last): correct — merely less effective — if a
+    # caller ever passes unsorted refs; identical for lex-sorted ones
+    bh0 = jnp.min(rh, axis=1)
+    bh1 = jnp.max(rh, axis=1)
+    gap = jnp.maximum(bh0[None, :] - th1[:, None],
+                      th0[:, None] - bh1[None, :])    # [nq, nr]
+    gap = jnp.maximum(gap, 0).astype(jnp.float32)
+    return (gap * gap <= u2m[:, None]).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "n_batch"))
@@ -113,38 +191,64 @@ def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
     R = min(RBLK, -(-Vr // 128) * 128)
     nr = -(-Vr // R)
     Vrp = nr * R
+    batched = n_batch != 1
+    prune = nr >= 3 and Vr >= UWND
 
     qc = jnp.pad(q_coords.astype(jnp.float32),
                  ((0, nq * T - Vq), (0, 4)))         # [nqT, 8]
     q3 = qc.reshape(nq, T, 8)
+    qm = jnp.pad(q_mask, (0, nq * T - Vq))
 
-    rc = r_coords.astype(jnp.float32)
-    r_xyz = rc[:, 1:]
-    rsq = jnp.sum(r_xyz * r_xyz, axis=-1)
-    rsq = rsq + (~r_mask).astype(jnp.float32) * _PEN
-    # rx rows: 0 unused, 1..3 xyz^T, 4 batch id, 5-7 pad
-    rx = jnp.stack([
-        jnp.zeros((Vr,), jnp.float32), r_xyz[:, 0], r_xyz[:, 1],
-        r_xyz[:, 2], rc[:, 0], jnp.zeros((Vr,), jnp.float32),
-        jnp.zeros((Vr,), jnp.float32), jnp.zeros((Vr,), jnp.float32),
-    ])                                               # [8, Vr]
+    rc = r_coords.astype(jnp.int32)
+    rsq_i = jnp.sum(rc[:, 1:] * rc[:, 1:], axis=-1)  # exact int
+    rsq_shift = rsq_i + (~r_mask).astype(jnp.int32) * _PEN
+    gid = (jnp.arange(Vrp, dtype=jnp.int32) % R) // 128
+    rsqo16 = (rsq_shift + _OFFS) * 16
+    rsqo16 = jnp.pad(rsqo16, (0, Vrp - Vr),
+                     constant_values=(_PEN + _OFFS) * 16) + gid
+    rsqo16 = rsqo16.reshape(1, Vrp)
+
+    rf = rc.astype(jnp.float32)
+    # rx rows: 0 unused, 1..3 = -2 * xyz^T, 4 batch id, 5-7 pad
+    zero = jnp.zeros((Vr,), jnp.float32)
+    rx = jnp.stack([zero, -2.0 * rf[:, 1], -2.0 * rf[:, 2],
+                    -2.0 * rf[:, 3], rf[:, 0], zero, zero, zero])
     rx = jnp.pad(rx, ((0, 0), (0, Vrp - Vr)))
-    rsq = jnp.pad(rsq, (0, Vrp - Vr),
-                  constant_values=_PEN).reshape(1, Vrp)  # pad refs invalid
 
-    kernel = _make_kernel(T, R, nr, n_batch != 1)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nq, nr),
-        in_specs=[
-            pl.BlockSpec((1, T, 8), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((8, R), lambda i, j: (0, j)),
-            pl.BlockSpec((1, R), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, T), lambda i, j: (i, 0, 0)),
+    kernel = _make_kernel(T, R, nr, batched, prune)
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((nq, 1, T), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
-                        pltpu.VMEM((T, 1), jnp.int32)],
         interpret=interpret,
-    )(q3, rx, rsq)
+    )
+    if prune:
+        ok = _prune_mask(q3, qm, rc, rsq_shift, nq, T, R, nr, Vr, batched)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nq, nr),
+            in_specs=[
+                pl.BlockSpec((1, T, 8), lambda i, j, ok_ref: (i, 0, 0)),
+                pl.BlockSpec((8, R), lambda i, j, ok_ref: (0, j)),
+                pl.BlockSpec((1, R), lambda i, j, ok_ref: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, T),
+                                   lambda i, j, ok_ref: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
+                            pltpu.VMEM((T, 1), jnp.int32)],
+        )
+        out = pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            ok, q3, rx, rsqo16)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=(nq, nr),
+            in_specs=[
+                pl.BlockSpec((1, T, 8), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((8, R), lambda i, j: (0, j)),
+                pl.BlockSpec((1, R), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, T), lambda i, j: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
+                            pltpu.VMEM((T, 1), jnp.int32)],
+            **common,
+        )(q3, rx, rsqo16)
     return out.reshape(-1)[:Vq]

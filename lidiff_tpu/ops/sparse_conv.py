@@ -107,7 +107,7 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
 
     if USE_PALLAS and allow_pallas and _on_tpu():
         from lidiff_tpu.ops.pallas_conv import (DEFAULT_NBLK,
-                                                conv_columns_pallas,
+                                                conv_columns_dispatch,
                                                 conv_columns_pallas_ad)
         if bias is None and not relu:
             # differentiable path (custom_vjp: bwd-feats is the same conv
@@ -119,14 +119,16 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                 getattr(kmap, "col_r", None), getattr(kmap, "hit_r", None))
             return out.astype(out_dtype)
         # fused bias/ReLU epilogue: eval-only (BN folded into the weights),
-        # never differentiated
-        out, _ = conv_columns_pallas(cf, kmap.col_idx, kmap.hit, cw,
-                                     out_mask, groups=G,
-                                     out_dtype=out_dtype,
-                                     blk=getattr(kmap, "blk", None),
-                                     col_r=getattr(kmap, "col_r", None),
-                                     hit_r=getattr(kmap, "hit_r", None),
-                                     bias=bias, relu=relu)
+        # never differentiated. Per-call window overflow is discarded HERE
+        # because the kernel-map builder counts it once per level for the
+        # exact dispatch geometries (pallas_kmap.py), surfaced via Pyramid.
+        out, _ = conv_columns_dispatch(cf, kmap.col_idx, kmap.hit, cw,
+                                       out_mask, groups=G,
+                                       out_dtype=out_dtype,
+                                       blk=getattr(kmap, "blk", None),
+                                       col_r=getattr(kmap, "col_r", None),
+                                       hit_r=getattr(kmap, "hit_r", None),
+                                       bias=bias, relu=relu)
         return out
 
     return _sparse_conv_columns_xla(cf, kmap, cw, out_mask, G, bias, relu,

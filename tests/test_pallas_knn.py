@@ -78,3 +78,69 @@ def test_multi_block_ties_keep_first():
     got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1)
     v = np.asarray(qm)
     np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def _lexsort(c):
+    return c[np.lexsort((c[:, 3], c[:, 2], c[:, 1], c[:, 0]))]
+
+
+def _mk_sorted(rng, vq, vr, b=1, lim=1000, r_valid=1.0):
+    """Production-like inputs: lex-sorted coords over the real crop range,
+    so the block-pruning prolog actually prunes (unsorted inputs keep it
+    correct but toothless)."""
+    qc = _lexsort(np.concatenate(
+        [rng.integers(0, b, (vq, 1)), rng.integers(-lim, lim, (vq, 3))],
+        1).astype(np.int32))
+    rc = _lexsort(np.concatenate(
+        [rng.integers(0, b, (vr, 1)), rng.integers(-lim, lim, (vr, 3))],
+        1).astype(np.int32))
+    qm = jnp.asarray(rng.random(vq) < 0.95)
+    rm = jnp.asarray(rng.random(vr) < r_valid)
+    return jnp.asarray(qc), qm, jnp.asarray(rc), rm
+
+
+def test_pruned_sorted_exact():
+    """Sorted full-range inputs (nr>=3 turns block pruning on): results
+    must stay bit-identical to the XLA argmin."""
+    rng = np.random.default_rng(5)
+    qc, qm, rc, rm = _mk_sorted(rng, 4000, 8000, lim=1000)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def test_pruned_sorted_multibatch_exact():
+    """Batched + sorted: cross-batch blocks auto-prune via the packed-key
+    gap; per-query results still match XLA exactly."""
+    rng = np.random.default_rng(6)
+    qc, qm, rc, rm = _mk_sorted(rng, 3000, 8000, b=2, lim=900,
+                                r_valid=0.9)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def test_pruned_clustered_far_queries():
+    """Queries far from every ref (big upper bounds -> little pruning) and
+    refs clustered in distant slabs (big gaps -> heavy pruning), together:
+    the prune decision must never drop a true argmin."""
+    rng = np.random.default_rng(7)
+    slabs = []
+    for x0 in (-900, -300, 500, 950):
+        n = 2000
+        c = np.stack([np.full(n, 0), rng.integers(x0, x0 + 40, n),
+                      rng.integers(-200, 200, n),
+                      rng.integers(-30, 30, n)], 1).astype(np.int32)
+        slabs.append(c)
+    rc = _lexsort(np.concatenate(slabs))
+    qc = _lexsort(np.concatenate(
+        [np.zeros((2000, 1)), rng.integers(-1000, 1000, (2000, 3))],
+        1).astype(np.int32))
+    qm = jnp.ones((len(qc),), bool)
+    rm = jnp.ones((len(rc),), bool)
+    ref = nn_match_idx(jnp.asarray(qc), qm, jnp.asarray(rc), rm)
+    got = nn_match_idx_pallas(jnp.asarray(qc), qm, jnp.asarray(rc), rm,
+                              interpret=True, n_batch=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
