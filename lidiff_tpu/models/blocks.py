@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lidiff_tpu.ops.grid import KernelMap, LevelGeom
+from lidiff_tpu.ops.grid import DownMap, KernelMap, LevelGeom
 from lidiff_tpu.ops.sparse_conv import (masked_moments, sparse_conv,
                                         sparse_conv_transpose)
 
@@ -108,7 +108,16 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.tile(var, self.groups)
             scale = jnp.tile(scale, self.groups)
             bias = jnp.tile(bias, self.groups)
-        y = (feats - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        if feats.dtype == jnp.float32:
+            y = (feats - mean) * jax.lax.rsqrt(var + self.eps) * scale \
+                + bias
+        else:
+            # low-precision activation chain (bf16 eval): apply the affine
+            # in the activation dtype so BN doesn't promote the whole
+            # stream back to f32 (k/c are f32-derived, rounded once)
+            k = scale * jax.lax.rsqrt(var + self.eps)
+            c = bias - mean * k
+            y = feats * k.astype(feats.dtype) + c.astype(feats.dtype)
         return jnp.where(mask[:, None], y, 0)
 
 
@@ -186,8 +195,10 @@ class ResidualBlock(nn.Module):
             # identical to the ungrouped op)
             V = feats.shape[0]
             fin = feats.reshape(V, G, cin) if G > 1 else feats
+            # computation in the activation dtype (bf16 on the eval fast
+            # path, f32 in training); params stay f32
             short = nn.Dense(self.features, use_bias=False,
-                             kernel_init=_kaiming)(fin)
+                             kernel_init=_kaiming, dtype=fin.dtype)(fin)
             if G > 1:
                 short = short.reshape(V, G * self.features)
             short = MaskedBatchNorm(axis_name=self.axis_name, groups=G)(
@@ -234,9 +245,13 @@ class DownStage(nn.Module):
     @nn.compact
     def __call__(self, feats, fine: LevelGeom, coarse: LevelGeom,
                  train: bool):
+        # child-form map: one GEMM + scatter-add instead of 8 wide gathers
+        # (sparse_conv_down); fine.down_kmap stays available for the
+        # gather-form fallback/tests
         x = ConvBNReLU(self.mid, taps=8, axis_name=self.axis_name,
                        groups=self.groups)(
-            feats, fine.down_kmap, coarse.geom.mask, train)
+            feats, DownMap(fine.parent_idx, fine.up_tap),
+            coarse.geom.mask, train)
         x = ResidualBlock(self.out, self.axis_name, self.groups)(
             x, coarse.kmap3, coarse.geom.mask, train)
         x = ResidualBlock(self.out, self.axis_name, self.groups)(

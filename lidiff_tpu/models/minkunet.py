@@ -110,6 +110,10 @@ class _StageGate(nn.Module):
         pt = jnp.concatenate([t_vox, p] if self.swap else [p, t_vox],
                              axis=-1)
         w = MLP(self.latemp_hidden, self.gate_out, name="latemp")(pt)
+        # gate in the activation dtype: MLP outputs are bf16-valued (its
+        # last GEMM runs in COMPUTE_DTYPE), so this cast is exact and keeps
+        # a bf16 eval stream from promoting back to f32
+        w = w.astype(feats.dtype)
         if G > 1:
             V = feats.shape[0]
             f = feats.reshape(V, G, -1)
@@ -139,6 +143,15 @@ class MinkUNetDiff(nn.Module):
         else:
             banks = [(part_feats, part_geom)]
         G = len(banks)
+        # bf16 eval fast path: cast the inputs ONCE so the whole activation
+        # stream (convs, BN affines, gates, matches) stays in COMPUTE_DTYPE
+        # — the first conv already rounds its input to this dtype, so
+        # quality is unchanged while every inter-op HBM pass halves and the
+        # per-conv cast copies disappear. Training keeps f32 activations.
+        from lidiff_tpu.ops import sparse_conv as _sc
+        cd = _sc.COMPUTE_DTYPE
+        if not train and cd != jnp.float32:
+            banks = [(pf.astype(cd), pg) for pf, pg in banks]
         cs = [int(self.cr * c) for c in CS]
         lv = pyr.levels
         DownStage = _maybe_remat(globals()["DownStage"],
@@ -171,8 +184,10 @@ class MinkUNetDiff(nn.Module):
         # the stem input (voxelized points) is identical for every group:
         # run it once and tile — exact (both reference passes would compute
         # the same stem activations)
-        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
-            pyr.vox_feats, lv[0], train)
+        vf = pyr.vox_feats
+        if not train and cd != jnp.float32:
+            vf = vf.astype(cd)
+        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(vf, lv[0], train)
         if G > 1:
             x0 = jnp.tile(x0, (1, G))
         g0 = gate(cs[0], cs[4], name="gate_s1")(x0, lv[0].geom, match[0],
@@ -225,8 +240,12 @@ class MinkUNet(nn.Module):
         DownStage = _maybe_remat(globals()["DownStage"],
                                  self.remat and train)
         UpStage = _maybe_remat(globals()["UpStage"], self.remat and train)
-        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(
-            pyr.vox_feats, lv[0], train)
+        from lidiff_tpu.ops import sparse_conv as _sc
+        vf = pyr.vox_feats
+        if not train and _sc.COMPUTE_DTYPE != jnp.float32:
+            vf = vf.astype(_sc.COMPUTE_DTYPE)   # bf16 eval stream (see
+        x0 = Stem(cs[0], self.axis_name, name="Stem_0")(   # MinkUNetDiff)
+            vf, lv[0], train)
         x1 = DownStage(cs[0], cs[1], self.axis_name, name="DownStage_0")(
             x0, lv[0], lv[1], train)
         x2 = DownStage(cs[1], cs[2], self.axis_name, name="DownStage_1")(

@@ -96,6 +96,13 @@ class ColumnKernelMap:
     col_r: jnp.ndarray | None = None    # [nt, 9, T] int32
     hit_r: jnp.ndarray | None = None    # [nt, 27, T] int8
     overflow: jnp.ndarray | None = None  # [] int32 window-overflow count
+    # {(tile, wrows): (lo, col4, hit4)} per production conv geometry
+    # (ops/pallas_conv.regroup_for_geometry) — built once per level so the
+    # ~40 convs sharing this map skip their regroup/overflow prologs
+    pre: dict | None = None
+    # [] int32 valid-voxel count (valid rows come FIRST by key sort):
+    # lets the conv kernel skip whole output tiles past it
+    nvalid: jnp.ndarray | None = None
 
     @property
     def idx(self):
@@ -359,6 +366,16 @@ def up_maps(fine: VoxelGeom, child2parent: jnp.ndarray):
     bits = (fine.coords[:, 1:] // s) % 2          # [V,3] in {0,1}
     tap = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
     return child2parent, tap.astype(jnp.int32)
+
+
+@struct.dataclass
+class DownMap:
+    """ks=2/stride-2 down-conv map in child form: every FINE voxel has one
+    (parent, tap) slot (the transpose of the [V_coarse, 8] gather map) —
+    the conv then runs as one GEMM + narrow tap-select gather + scatter-add
+    instead of 8 wide rate-bound row gathers (ops/sparse_conv.py)."""
+    parent_idx: jnp.ndarray   # [V_fine] int32 (== V_coarse when invalid)
+    tap: jnp.ndarray          # [V_fine] int32 in [0, 8)
 
 
 @struct.dataclass

@@ -79,13 +79,15 @@ def _window_overflow(r0, hit_z, W):
             + jnp.sum((m2 != 0) & _oob(r2))).astype(jnp.int32)
 
 
-def window_overflow_for_geometry(col_r, hit_r, tile: int, wrows: int):
-    """Dropped-tap count the v2 conv kernel would incur at (tile, wrows)
-    on this kernel map — same regroup + 32-row-aligned window start as
-    `conv_columns_pallas_v2`.  Lets the kernel-map builder surface one
-    exact per-level counter for every dispatch geometry in use.
+def regroup_for_geometry(col_r, hit_r, tile: int, wrows: int):
+    """Per-(tile, wrows) conv-kernel inputs derived from the kernel-map
+    builder's TILE-row layout: regrouped index/hit tiles, 32-row-aligned
+    window starts, and the exact dropped-tap count that geometry incurs.
 
-    Args: col_r [nt, 9, TILE] int32, hit_r [nt, 27, TILE] (builder layout).
+    Returns (lo [nt, 9] int32, col4 [nt, 9, 1, tile] int32,
+             hit4 [nt, 9, 3, tile] int8, overflow [] int32).
+    Computed ONCE per level by the builder (ColumnKernelMap.pre) so the
+    ~40 convs sharing a map skip the transposes and overflow prolog.
     """
     nt0 = col_r.shape[0]
     Vp0 = nt0 * TILE
@@ -102,8 +104,16 @@ def window_overflow_for_geometry(col_r, hit_r, tile: int, wrows: int):
     first = col[:, :, 0]
     lo = ((jnp.clip(first, 0, Vp - wrows) // 32) * 32).astype(jnp.int32)
     rel = col - lo[:, :, None]
-    return _window_overflow(rel.transpose(0, 2, 1),
-                            hit.transpose(0, 3, 1, 2), wrows)
+    overflow = _window_overflow(rel.transpose(0, 2, 1),
+                                hit.transpose(0, 3, 1, 2), wrows)
+    return (lo, col.reshape(nt, 9, 1, tile),
+            hit.astype(jnp.int8), overflow)
+
+
+def window_overflow_for_geometry(col_r, hit_r, tile: int, wrows: int):
+    """Dropped-tap count the v2 conv kernel would incur at (tile, wrows)
+    on this kernel map (see regroup_for_geometry)."""
+    return regroup_for_geometry(col_r, hit_r, tile, wrows)[3]
 
 
 def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int, relu: bool):
@@ -469,35 +479,39 @@ def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
 
 
 def _f0_like(x):
-    if x is None:
-        return None
     import numpy as np
-    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0), x)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def conv_columns_pallas_ad(groups: int, nblk: int, interpret: bool,
                            feats, weights, col_idx, hit, out_mask,
-                           blk=None, col_r=None, hit_r=None):
+                           blk=None, col_r=None, hit_r=None, pre=None,
+                           nvalid=None):
     """Differentiable fused column conv (no bias/relu epilogue: on the
     training path BN runs separately in train mode, so the epilogue fold
     is eval-only).  Forward identical to `conv_columns_pallas`; runs the
     size-dispatched kernel geometry (nblk only shapes the dw kernel)."""
     out, _ = conv_columns_dispatch(feats, col_idx, hit, weights, out_mask,
                                    groups=groups, interpret=interpret,
-                                   blk=blk, col_r=col_r, hit_r=hit_r)
+                                   blk=blk, col_r=col_r, hit_r=hit_r,
+                                   pre=pre, nvalid=nvalid)
     return out
 
 
 def _ad_fwd(groups, nblk, interpret, feats, weights, col_idx, hit, out_mask,
-            blk=None, col_r=None, hit_r=None):
+            blk=None, col_r=None, hit_r=None, pre=None, nvalid=None):
     out = conv_columns_pallas_ad(groups, nblk, interpret, feats, weights,
-                                 col_idx, hit, out_mask, blk, col_r, hit_r)
-    return out, (feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r)
+                                 col_idx, hit, out_mask, blk, col_r, hit_r,
+                                 pre, nvalid)
+    return out, (feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r,
+                 pre, nvalid)
 
 
 def _ad_bwd(groups, nblk, interpret, res, g):
-    feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r = res
+    (feats, weights, col_idx, hit, out_mask, blk, col_r, hit_r, pre,
+     nvalid) = res
     g = jnp.where(out_mask[:, None], g, 0).astype(feats.dtype)
     # tap-reversed, transposed weights: offset negation reverses
     # cube_offsets order exactly (k -> 26-k)
@@ -505,14 +519,15 @@ def _ad_bwd(groups, nblk, interpret, res, g):
     df, _ = conv_columns_dispatch(g, col_idx, hit, w_rev, out_mask,
                                   groups=groups, interpret=interpret,
                                   blk=blk, col_r=col_r, hit_r=hit_r,
-                                  out_dtype=feats.dtype)
+                                  out_dtype=feats.dtype, pre=pre,
+                                  nvalid=nvalid)
     dw = conv_columns_pallas_dw(feats, g, col_idx, hit, out_mask,
                                 groups=groups, nblk=nblk,
                                 interpret=interpret, blk=blk, col_r=col_r,
                                 hit_r=hit_r)
     return (df, dw.astype(weights.dtype), _f0_like(col_idx), _f0_like(hit),
             _f0_like(out_mask), _f0_like(blk), _f0_like(col_r),
-            _f0_like(hit_r))
+            _f0_like(hit_r), _f0_like(pre), _f0_like(nvalid))
 
 
 conv_columns_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
@@ -549,10 +564,17 @@ W_ROWS = 320        # manual window rows: span(128)<=249 + 31 align + margin
 def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
                     W: int, CGp: int):
 
-    def kernel(lo_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref,
+    def kernel(lo_ref, nv_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref,
                feats_any, o_ref, wnd, sems):
         i = pl.program_id(0)
         dt = wnd.dtype
+
+        # valid voxels are the FIRST nv rows (lex-sorted keys, padding
+        # last), so whole output tiles past nv skip their DMAs and math —
+        # coarse levels run far under capacity (late solver steps
+        # especially), and this recovers that time with zero recompiles
+        def live(step):
+            return step * T < nv_ref[0]
 
         def issue(step, slot):
             for j in range(9):
@@ -561,51 +583,57 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
                     feats_any.at[pl.ds(st, W), :],
                     wnd.at[slot, j], sems.at[slot, j]).start()
 
-        @pl.when(i == 0)
+        @pl.when((i == 0) & live(0))
         def _first():
             issue(0, 0)
 
-        @pl.when(i + 1 < nt)
+        @pl.when((i + 1 < nt) & live(i + 1))
         def _prefetch():
             issue(i + 1, (i + 1) % 2)
 
-        slot = i % 2
-        for j in range(9):
-            st = pl.multiple_of(lo_ref[i, j], 32)
-            pltpu.make_async_copy(
-                feats_any.at[pl.ds(st, W), :],
-                wnd.at[slot, j], sems.at[slot, j]).wait()
+        @pl.when(~live(i))
+        def _dead():
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-        iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-        accs = [jnp.zeros((T, Co), jnp.float32) for _ in range(G)]
-        for j in range(9):
-            lo = lo_ref[i, j]
-            r0 = col_ref[0, j, 0, :] - lo
-            m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
-            m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
-            m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
-            r1 = r0 + m0
-            r2 = r1 + m1
-            sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
-                              jnp.float32(1), jnp.float32(0)).astype(dt)
-                    for m, r in ((m0, r0), (m1, r1), (m2, r2))]
-            win = wnd[slot, j]                        # [W, CGp]
-            gz = [jnp.dot(sel, win, preferred_element_type=jnp.float32)
-                  for sel in sels]
-            w3 = w_ref[j]
-            for gi in range(G):
-                sl = slice(gi * C, (gi + 1) * C)
-                slab = jnp.concatenate(
-                    [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
-                    axis=1).astype(dt)
-                accs[gi] = accs[gi] + jnp.dot(
-                    slab, w3, preferred_element_type=jnp.float32)
-        accs = [a + bias_ref[0][None, :] for a in accs]
-        acc = accs[0] if G == 1 else jnp.concatenate(accs, axis=1)
-        if relu:
-            acc = jnp.maximum(acc, 0)
-        keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
-        o_ref[:] = jnp.where(keep, acc, 0).astype(o_ref.dtype)
+        @pl.when(live(i))
+        def _compute():
+            slot = i % 2
+            for j in range(9):
+                st = pl.multiple_of(lo_ref[i, j], 32)
+                pltpu.make_async_copy(
+                    feats_any.at[pl.ds(st, W), :],
+                    wnd.at[slot, j], sems.at[slot, j]).wait()
+
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+            accs = [jnp.zeros((T, Co), jnp.float32) for _ in range(G)]
+            for j in range(9):
+                lo = lo_ref[i, j]
+                r0 = col_ref[0, j, 0, :] - lo
+                m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
+                m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
+                m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
+                r1 = r0 + m0
+                r2 = r1 + m1
+                sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
+                                  jnp.float32(1), jnp.float32(0)).astype(dt)
+                        for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+                win = wnd[slot, j]                    # [W, CGp]
+                gz = [jnp.dot(sel, win, preferred_element_type=jnp.float32)
+                      for sel in sels]
+                w3 = w_ref[j]
+                for gi in range(G):
+                    sl = slice(gi * C, (gi + 1) * C)
+                    slab = jnp.concatenate(
+                        [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
+                        axis=1).astype(dt)
+                    accs[gi] = accs[gi] + jnp.dot(
+                        slab, w3, preferred_element_type=jnp.float32)
+            accs = [a + bias_ref[0][None, :] for a in accs]
+            acc = accs[0] if G == 1 else jnp.concatenate(accs, axis=1)
+            if relu:
+                acc = jnp.maximum(acc, 0)
+            keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
+            o_ref[:] = jnp.where(keep, acc, 0).astype(o_ref.dtype)
 
     return kernel
 
@@ -619,8 +647,18 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                            blk=None, col_r=None, hit_r=None,
                            bias=None, relu: bool = False,
                            tile: int | None = None,
-                           wrows: int | None = None):
-    """Manual-DMA variant of conv_columns_pallas (identical math)."""
+                           wrows: int | None = None,
+                           pre=None, nvalid=None):
+    """Manual-DMA variant of conv_columns_pallas (identical math).
+
+    `pre`: optional (lo, col4, hit4) from regroup_for_geometry for THIS
+    (tile, wrows) — skips the per-call regroup/window/overflow prolog
+    (overflow is then the builder's per-level counter, reported 0 here).
+    `nvalid`: optional [] int32 count of valid voxels (they are the FIRST
+    rows by key-sort construction); output tiles past it skip their DMAs
+    and math entirely — a large win on coarse levels that run far under
+    their static capacity.
+    """
     V, CG = feats.shape
     Kt, C, Co = weights.shape
     G = groups
@@ -643,7 +681,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                 weights[:, a:b, :], out_mask, groups=G,
                 interpret=interpret, out_dtype=jnp.float32,
                 blk=blk, col_r=col_r, hit_r=hit_r,
-                tile=tile, wrows=wrows)
+                tile=tile, wrows=wrows, pre=pre, nvalid=nvalid)
             acc = out_p if acc is None else acc + out_p
             ov1 = ov_p if ov1 is None else ov1
         if bias is not None:
@@ -669,56 +707,57 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
     mask_r = om.reshape(nt, 1, T)
 
-    if col_r is not None and hit_r is not None:
-        # regroup the kernel-map builder's TILE(=128)-row layout into
-        # T-row tiles (pad tiles carry hit=0 -> exact zero, masked output)
-        ntb = col_r.shape[0]
-        assert col_r.shape == (ntb, 9, TILE) and \
-            hit_r.shape == (ntb, 27, TILE)
-        ptiles = Vp // TILE - ntb
-        cr = jnp.pad(col_r, ((0, ptiles), (0, 0), (0, 0)))
-        hr = jnp.pad(hit_r, ((0, ptiles), (0, 0), (0, 0)))
-        r = T // TILE
-        col4 = (cr.reshape(nt, r, 9, TILE).transpose(0, 2, 1, 3)
-                .reshape(nt, 9, 1, T))
-        hit4 = (hr.reshape(nt, r, 9, 3, TILE).transpose(0, 2, 3, 1, 4)
-                .reshape(nt, 9, 3, T))
+    if pre is not None:
+        # per-level precomputed geometry (builder): no per-call prolog;
+        # overflow is the builder's per-level counter
+        lo, col4, hit4g = pre
+        assert col4.shape == (nt, 9, 1, T), (col4.shape, nt, T)
+        hit4 = hit4g
+        overflow = jnp.int32(0)
+    elif col_r is not None and hit_r is not None:
+        lo, col4, hit4, overflow = regroup_for_geometry(col_r, hit_r, T, W)
     else:
         ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
         ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
         col4 = (ci.reshape(nt, T, 9).transpose(0, 2, 1)
                 .reshape(nt, 9, 1, T))
         hit4 = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
-    first = col4[:, :, 0, 0]                                 # [nt, 9]
-
-    # window starts aligned down to 32 rows (covers the bf16 16-row
-    # sublane tile; 8-row alignment puts bf16 DMAs on the slow unaligned
-    # path); W covers the measured spans plus the <=31-row slack
-    lo = ((jnp.clip(first, 0, Vp - W) // 32) * 32).astype(jnp.int32)
-    # hit-aware overflow: only taps that actually HIT but fall outside the
-    # window are real drops (span-only counting over-counts on sparse data)
-    rel = col4[:, :, 0, :] - lo[:, :, None]                  # [nt, 9, T]
-    overflow = _window_overflow(rel.transpose(0, 2, 1),
-                                hit4.transpose(0, 3, 1, 2), W)
+        first = col4[:, :, 0, 0]                             # [nt, 9]
+        # window starts aligned down to 32 rows (covers the bf16 16-row
+        # sublane tile; 8-row alignment puts bf16 DMAs on the slow
+        # unaligned path); W covers measured spans plus <=31-row slack
+        lo = ((jnp.clip(first, 0, Vp - W) // 32) * 32).astype(jnp.int32)
+        # hit-aware overflow: only taps that actually HIT but fall outside
+        # the window are real drops
+        rel = col4[:, :, 0, :] - lo[:, :, None]              # [nt, 9, T]
+        overflow = _window_overflow(rel.transpose(0, 2, 1),
+                                    hit4.transpose(0, 3, 1, 2), W)
 
     if bias is None:
         bias = jnp.zeros((Co,), jnp.float32)
     bias2 = jnp.asarray(bias, jnp.float32).reshape(1, Co)
     w3 = weights.astype(dt).reshape(9, 3 * C, Co)
 
+    nv = (jnp.full((1,), V, jnp.int32) if nvalid is None
+          else jnp.asarray(nvalid, jnp.int32).reshape(1))
+
     kernel = _make_kernel_v2(T, C, Co, G, relu, nt, W, CGp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 9, 1, T), lambda i, lo_ref: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 9, 3, T), lambda i, lo_ref: (i, 0, 0, 0)),
-            pl.BlockSpec((9, 3 * C, Co), lambda i, lo_ref: (0, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda i, lo_ref: (i, 0, 0)),
-            pl.BlockSpec((1, Co), lambda i, lo_ref: (0, 0)),
+            pl.BlockSpec((1, 9, 1, T), lambda i, lo_ref, nv_ref:
+                         (i, 0, 0, 0)),
+            pl.BlockSpec((1, 9, 3, T), lambda i, lo_ref, nv_ref:
+                         (i, 0, 0, 0)),
+            pl.BlockSpec((9, 3 * C, Co), lambda i, lo_ref, nv_ref:
+                         (0, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda i, lo_ref, nv_ref: (i, 0, 0)),
+            pl.BlockSpec((1, Co), lambda i, lo_ref, nv_ref: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),            # feats
         ],
-        out_specs=pl.BlockSpec((T, G * Co), lambda i, lo_ref: (i, 0)),
+        out_specs=pl.BlockSpec((T, G * Co),
+                               lambda i, lo_ref, nv_ref: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, W, CGp), dt),
             pltpu.SemaphoreType.DMA((2, 9)),
@@ -729,7 +768,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Vp, G * Co), odt),
         interpret=interpret,
-    )(lo, col4, hit4, w3, mask_r, bias2, fp)
+    )(lo, nv, col4, hit4, w3, mask_r, bias2, fp)
     return out[:V], overflow
 
 
@@ -747,14 +786,20 @@ DISPATCH_NARROW = (256, 480)   # for leaf G*C <= 128
 def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
                           groups: int = 1, interpret: bool = False,
                           out_dtype=None, blk=None, col_r=None, hit_r=None,
-                          bias=None, relu: bool = False):
+                          bias=None, relu: bool = False, pre=None,
+                          nvalid=None):
     """The production column conv: picks the fastest measured kernel
-    geometry for the conv's width.  Identical math to v1/v2 (exact)."""
+    geometry for the conv's width.  Identical math to v1/v2 (exact).
+
+    `pre`: optional dict {(tile, wrows): (lo, col4, hit4)} from the kernel
+    map builder (ColumnKernelMap.pre); `nvalid` see v2."""
     G = groups
     C = weights.shape[1]
     t, w = DISPATCH_NARROW if G * min(C, 128) <= 128 else DISPATCH_WIDE
+    p = pre.get((t, w)) if pre else None
     return conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask,
                                   groups=G, interpret=interpret,
                                   out_dtype=out_dtype, blk=blk,
                                   col_r=col_r, hit_r=hit_r, bias=bias,
-                                  relu=relu, tile=t, wrows=w)
+                                  relu=relu, tile=t, wrows=w, pre=p,
+                                  nvalid=nvalid)

@@ -180,20 +180,23 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
     # whose base tap missed). Surfaced per level via Pyramid.
     from lidiff_tpu.ops.pallas_conv import (DISPATCH_NARROW, DISPATCH_WIDE,
                                             _window_overflow,
-                                            window_overflow_for_geometry)
+                                            regroup_for_geometry)
     r0 = (col_r - blk[:, :, None] * T).transpose(0, 2, 1)   # [nt, T, 9]
     hit_z = hit_r.reshape(nt, 9, 3, T).transpose(0, 3, 1, 2)
     overflow = _window_overflow(r0, hit_z, nblk * T)
     # ...plus the drops each production conv geometry would incur on this
     # map (the per-call counters are discarded in sparse_conv; this single
     # per-level counter is the one Pyramid surfaces). Builder drops above
-    # have hit=0, so they are not double counted here.
+    # have hit=0, so they are not double counted here. The regrouped
+    # layouts are attached (pre) so every conv sharing this map skips its
+    # transpose/window/overflow prolog entirely.
+    hit_r8 = hit_r.astype(jnp.int8)
+    pre = {}
     for tile_w in (DISPATCH_NARROW, DISPATCH_WIDE):
-        overflow = overflow + window_overflow_for_geometry(
-            col_r, hit_r, *tile_w)
+        lo, col4, hit4, ov = regroup_for_geometry(col_r, hit_r8, *tile_w)
+        pre[tile_w] = (lo, col4, hit4)
+        overflow = overflow + ov
 
-    # attach the tiled layout so every conv sharing this map skips its
-    # prolog (pad + transposes) and feeds the fused kernel directly
     return ColumnKernelMap(col_idx=col_idx, hit=hit, blk=blk,
-                           col_r=col_r, hit_r=hit_r.astype(jnp.int8),
-                           overflow=overflow)
+                           col_r=col_r, hit_r=hit_r8,
+                           overflow=overflow, pre=pre, nvalid=geom.num)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 import os
 
-from lidiff_tpu.ops.grid import ColumnKernelMap, KernelMap
+from lidiff_tpu.ops.grid import ColumnKernelMap, DownMap, KernelMap
 
 # Conv GEMM precision policy. HIGHEST keeps f32 matmuls exactly f32 (needed
 # for golden tests vs numpy; the TPU/axon backends default f32 matmuls to
@@ -116,7 +116,8 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
             out = conv_columns_pallas_ad(
                 G, DEFAULT_NBLK, False, cf, cw, kmap.col_idx, kmap.hit,
                 out_mask, getattr(kmap, "blk", None),
-                getattr(kmap, "col_r", None), getattr(kmap, "hit_r", None))
+                getattr(kmap, "col_r", None), getattr(kmap, "hit_r", None),
+                getattr(kmap, "pre", None), getattr(kmap, "nvalid", None))
             return out.astype(out_dtype)
         # fused bias/ReLU epilogue: eval-only (BN folded into the weights),
         # never differentiated. Per-call window overflow is discarded HERE
@@ -128,7 +129,9 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                                        blk=getattr(kmap, "blk", None),
                                        col_r=getattr(kmap, "col_r", None),
                                        hit_r=getattr(kmap, "hit_r", None),
-                                       bias=bias, relu=relu)
+                                       bias=bias, relu=relu,
+                                       pre=getattr(kmap, "pre", None),
+                                       nvalid=getattr(kmap, "nvalid", None))
         return out
 
     return _sparse_conv_columns_xla(cf, kmap, cw, out_mask, G, bias, relu,
@@ -223,6 +226,10 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
         return sparse_conv_columns(feats, kmap, weights, out_mask,
                                    groups=groups, bias=bias, relu=relu,
                                    allow_pallas=allow_pallas)
+    if isinstance(kmap, DownMap):
+        return sparse_conv_down(feats, kmap.parent_idx, kmap.tap, weights,
+                                out_mask, groups=groups, bias=bias,
+                                relu=relu)
     Kt, Cin, Cout = weights.shape
     G = groups
     assert feats.shape[-1] == G * Cin
@@ -264,6 +271,59 @@ def sparse_conv(feats: jnp.ndarray, kmap, weights: jnp.ndarray,
     if relu:
         out = jnp.maximum(out, 0)
     return jnp.where(out_mask[:, None], out, 0)
+
+
+def sparse_conv_down(feats: jnp.ndarray, parent_idx: jnp.ndarray,
+                     tap: jnp.ndarray, weights: jnp.ndarray,
+                     out_mask: jnp.ndarray, *, groups: int = 1,
+                     bias: jnp.ndarray | None = None,
+                     relu: bool = False) -> jnp.ndarray:
+    """ks=2 / stride-2 down conv in CHILD form (the transpose of the
+    8-tap gather map): every fine voxel contributes to exactly one
+    (parent, tap) slot, so
+
+        out[o] = sum over children c of o:  feats[c] @ W[tap(c)]
+
+    runs as ONE GEMM against all 8 tap weights + a narrow tap-select row
+    gather + a scatter-add into the parents.  The gather-map path costs 8
+    wide row gathers per output (rate-bound on TPU: ~1.4M gathered rows
+    per fine-level down conv); this path moves 2 x V_fine narrow rows.
+    Reduction order within a parent differs from the gather path (ulp-level
+    f32 differences only).  Fully XLA-differentiable (training path too).
+
+    Args:
+      feats: [V_f, G*Cin]; parent_idx: [V_f] int32 (== V_c when the fine
+        voxel is invalid or its parent overflowed); tap: [V_f] in [0, 8);
+      weights: [8, Cin, Cout] (cube_offsets(2) order, z fastest);
+      out_mask: [V_c].
+    """
+    Kt, Cin, Cout = weights.shape
+    G = groups
+    assert feats.shape[-1] == G * Cin
+    Vf = feats.shape[0]
+    Vc = out_mask.shape[0]
+    out_dtype = feats.dtype
+    cf = feats.astype(COMPUTE_DTYPE)
+    cw = weights.astype(COMPUTE_DTYPE)
+    w_all = jnp.transpose(cw, (1, 0, 2)).reshape(Cin, Kt * Cout)
+    ok = parent_idx < Vc
+    rows = jnp.arange(Vf, dtype=jnp.int32) * Kt + tap
+    pidx = jnp.minimum(parent_idx, Vc)
+    outs = []
+    for gi in range(G):
+        y = jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
+                    preferred_element_type=jnp.float32,
+                    precision=PRECISION)                 # [V_f, K*Cout]
+        ysel = y.reshape(Vf * Kt, Cout)[rows]            # [V_f, Cout]
+        ysel = jnp.where(ok[:, None], ysel, 0)
+        o = jnp.zeros((Vc + 1, Cout), jnp.float32).at[pidx].add(ysel)[:Vc]
+        outs.append(o)
+    out = (outs[0] if G == 1 else jnp.concatenate(outs, axis=1))
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), G)
+    if relu:
+        out = jnp.maximum(out, 0)
+    return jnp.where(out_mask[:, None], out, 0).astype(out_dtype)
 
 
 def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,

@@ -331,3 +331,41 @@ def test_bias_relu_epilogue(pyramid):
                                  interpret=True, bias=jnp.asarray(c),
                                  relu=True)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=1e-5)
+
+
+def test_pre_layout_and_tile_skip_match(pyramid):
+    """The builder-precomputed (lo, col4, hit4) layouts and the
+    nvalid tile-skip must reproduce the prolog path exactly: identical
+    valid rows, exact zeros past nvalid."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_dispatch
+    from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
+    rng = np.random.default_rng(77)
+    L = pyramid.levels[1]
+    g = L.geom
+    V = g.capacity
+    km = build_kmap3_columns_pallas(g, interpret=True)
+    assert km.pre is not None and km.nvalid is not None
+    for G, C, Co in ((1, 16, 24), (2, 80, 64)):
+        feats = rng.normal(0, 1, (V, G * C)).astype(np.float32)
+        feats[~np.asarray(g.mask)] = 0.0
+        w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+        base, _ = conv_columns_dispatch(
+            jnp.asarray(feats), km.col_idx, km.hit, jnp.asarray(w),
+            g.mask, groups=G, interpret=True,
+            col_r=km.col_r, hit_r=km.hit_r)
+        got, _ = conv_columns_dispatch(
+            jnp.asarray(feats), km.col_idx, km.hit, jnp.asarray(w),
+            g.mask, groups=G, interpret=True,
+            col_r=km.col_r, hit_r=km.hit_r, pre=km.pre, nvalid=km.nvalid)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+        # force skipping: declare only the first half valid — tiles past
+        # it must come back exact zeros, tiles before it bit-identical
+        nv = V // 2
+        half, _ = conv_columns_dispatch(
+            jnp.asarray(feats), km.col_idx, km.hit, jnp.asarray(w),
+            g.mask, groups=G, interpret=True,
+            col_r=km.col_r, hit_r=km.hit_r, pre=km.pre,
+            nvalid=jnp.int32(nv))
+        np.testing.assert_array_equal(np.asarray(half)[:nv],
+                                      np.asarray(base)[:nv])
+        assert (np.asarray(half)[-(V - nv - 256):] == 0).all()

@@ -64,6 +64,48 @@ def test_down_conv_matches_dense_reference():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_down_conv_child_form_matches_gather_form():
+    """The GEMM + tap-gather + scatter-add child form (sparse_conv_down,
+    the production DownStage path) must match the 8-tap gather form up to
+    the reduction-order ulp, forward AND grads, incl. grouped G=2 and the
+    bias/ReLU epilogue."""
+    geom, vox_feats, rng = _make_grid(seed=3, B=2, N=400, cap=512)
+    pooled, c2p = G.pool_geom(geom, 300)   # force some capacity overflow
+    kmap = G.build_kernel_map(geom, pooled, G.cube_offsets(2, 1))
+    parent_idx, tap = G.up_maps(geom, c2p)
+    for Gr, Cin, Cout in ((1, 3, 8), (2, 5, 4)):
+        V = geom.capacity
+        f = rng.normal(0, 1, (V, Gr * Cin)).astype(np.float32)
+        f = np.where(np.asarray(geom.mask)[:, None], f, 0)
+        W = rng.normal(0, 0.3, (8, Cin, Cout)).astype(np.float32)
+        b = rng.normal(0, 0.5, (Cout,)).astype(np.float32)
+
+        def g_form(f, W):
+            return sparse_conv(f, kmap, W, pooled.mask, groups=Gr,
+                               bias=jnp.asarray(b), relu=True)
+
+        def c_form(f, W):
+            return sparse_conv(f, G.DownMap(parent_idx, tap), W,
+                               pooled.mask, groups=Gr, bias=jnp.asarray(b),
+                               relu=True)
+
+        a = g_form(jnp.asarray(f), jnp.asarray(W))
+        c = c_form(jnp.asarray(f), jnp.asarray(W))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(form):
+            return lambda f, W: jnp.sum(form(f, W) ** 2)
+
+        ga = jax.grad(loss(g_form), argnums=(0, 1))(jnp.asarray(f),
+                                                    jnp.asarray(W))
+        gc = jax.grad(loss(c_form), argnums=(0, 1))(jnp.asarray(f),
+                                                    jnp.asarray(W))
+        for x, y in zip(ga, gc):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def _dense_conv_ref_down(in_coords, in_mask, feats, out_coords, out_mask,
                          offs, W):
     table = {(in_coords[v, 0], *in_coords[v, 1:]): v
