@@ -334,7 +334,8 @@ def conv_columns_pallas(feats: jnp.ndarray, col_idx: jnp.ndarray,
 
 
 def _make_dw_kernel(T: int, C: int, Co: int, G: int, nblk: int):
-    def kernel(blk_ref, col_ref, hit_ref, g_in_ref, mask_ref, *rest):
+    def kernel(blk_ref, nv_ref, col_ref, hit_ref, g_in_ref, mask_ref,
+               *rest):
         wnd_refs = rest[:9 * nblk]
         dw_ref = rest[9 * nblk]              # [9, 3C, Co] f32, accumulated
         i = pl.program_id(0)
@@ -344,41 +345,46 @@ def _make_dw_kernel(T: int, C: int, Co: int, G: int, nblk: int):
         def _init():
             dw_ref[:] = jnp.zeros_like(dw_ref)
 
-        keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
-        gt = jnp.where(keep, g_in_ref[:], 0).astype(dt)     # [T, G*Co]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (T, nblk * T), 1)
-        for j in range(9):
-            lo = blk_ref[i, j] * T
-            r0 = col_ref[0, j, 0, :] - lo
-            m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
-            m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
-            m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
-            r1 = r0 + m0
-            r2 = r1 + m1
-            sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
-                              jnp.float32(1), jnp.float32(0)).astype(dt)
-                    for m, r in ((m0, r0), (m1, r1), (m2, r2))]
-            gz = []
-            for sel in sels:
-                acc_g = jnp.zeros((T, G * C), jnp.float32)
-                for b in range(nblk):
-                    acc_g = acc_g + jnp.dot(
-                        sel[:, b * T:(b + 1) * T],
-                        wnd_refs[j * nblk + b][:],
+        # tiles past the live-voxel count contribute nothing (their
+        # cotangent rows are masked to zero): skip their gathers and GEMMs
+        @pl.when(i * T < nv_ref[0])
+        def _live():
+            keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
+            gt = jnp.where(keep, g_in_ref[:], 0).astype(dt)  # [T, G*Co]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, nblk * T), 1)
+            for j in range(9):
+                lo = blk_ref[i, j] * T
+                r0 = col_ref[0, j, 0, :] - lo
+                m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
+                m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
+                m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
+                r1 = r0 + m0
+                r2 = r1 + m1
+                sels = [jnp.where(iota == jnp.where(m != 0, r,
+                                                    -1)[:, None],
+                                  jnp.float32(1), jnp.float32(0)).astype(dt)
+                        for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+                gz = []
+                for sel in sels:
+                    acc_g = jnp.zeros((T, G * C), jnp.float32)
+                    for b in range(nblk):
+                        acc_g = acc_g + jnp.dot(
+                            sel[:, b * T:(b + 1) * T],
+                            wnd_refs[j * nblk + b][:],
+                            preferred_element_type=jnp.float32)
+                    gz.append(acc_g)
+                acc = jnp.zeros((3 * C, Co), jnp.float32)
+                for gi in range(G):
+                    sl = slice(gi * C, (gi + 1) * C)
+                    slab = jnp.concatenate(
+                        [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
+                        axis=1).astype(dt)                  # [T, 3C]
+                    # slab^T @ g without an explicit transpose
+                    acc = acc + jax.lax.dot_general(
+                        slab, gt[:, gi * Co:(gi + 1) * Co],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                gz.append(acc_g)
-            acc = jnp.zeros((3 * C, Co), jnp.float32)
-            for gi in range(G):
-                sl = slice(gi * C, (gi + 1) * C)
-                slab = jnp.concatenate(
-                    [gz[0][:, sl], gz[1][:, sl], gz[2][:, sl]],
-                    axis=1).astype(dt)                      # [T, 3C]
-                # slab^T @ g without an explicit transpose
-                acc = acc + jax.lax.dot_general(
-                    slab, gt[:, gi * Co:(gi + 1) * Co],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            dw_ref[j] = dw_ref[j] + acc
+                dw_ref[j] = dw_ref[j] + acc
 
     return kernel
 
@@ -392,7 +398,8 @@ def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
                            tile: int | None = None,
                            blk: jnp.ndarray | None = None,
                            col_r: jnp.ndarray | None = None,
-                           hit_r: jnp.ndarray | None = None) -> jnp.ndarray:
+                           hit_r: jnp.ndarray | None = None,
+                           nvalid=None) -> jnp.ndarray:
     """Weight gradient of the column conv.
 
     dW[k, c, co] = sum over outputs o (and groups) of
@@ -418,7 +425,8 @@ def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
             parts.append(conv_columns_pallas_dw(
                 f3[:, :, a:b].reshape(V, G * (b - a)), g, col_idx, hit,
                 out_mask, groups=G, nblk=nblk, interpret=interpret,
-                tile=tile, blk=blk, col_r=col_r, hit_r=hit_r))
+                tile=tile, blk=blk, col_r=col_r, hit_r=hit_r,
+                nvalid=nvalid))
         return jnp.concatenate(parts, axis=1)               # [27, C, Co]
 
     T = TILE if tile is None else tile
@@ -444,16 +452,18 @@ def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
                 .reshape(nt, 9, 1, T))
         hit4 = ht.reshape(nt, T, 9, 3).transpose(0, 2, 3, 1)
 
+    nv = (jnp.full((1,), V, jnp.int32) if nvalid is None
+          else jnp.asarray(nvalid, jnp.int32).reshape(1))
     kernel = _make_dw_kernel(T, C, Co, G, nblk)
     in_specs = [
-        pl.BlockSpec((1, 9, 1, T), lambda i, blk_ref: (i, 0, 0, 0)),
-        pl.BlockSpec((1, 9, 3, T), lambda i, blk_ref: (i, 0, 0, 0)),
-        pl.BlockSpec((T, G * Co), lambda i, blk_ref: (i, 0)),   # cotangent
-        pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),
+        pl.BlockSpec((1, 9, 1, T), lambda i, blk_ref, nv_ref: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 9, 3, T), lambda i, blk_ref, nv_ref: (i, 0, 0, 0)),
+        pl.BlockSpec((T, G * Co), lambda i, blk_ref, nv_ref: (i, 0)),
+        pl.BlockSpec((1, 1, T), lambda i, blk_ref, nv_ref: (i, 0, 0)),
     ]
 
     def _wnd_index_map(j, b):
-        def index_map(i, blk_ref):
+        def index_map(i, blk_ref, nv_ref):
             return (blk_ref[i, j] + b, 0)
         return index_map
 
@@ -462,19 +472,20 @@ def conv_columns_pallas_dw(feats: jnp.ndarray, g: jnp.ndarray,
             in_specs.append(pl.BlockSpec((T, CG), _wnd_index_map(j, b)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=in_specs,
         # constant index map: the [9, 3C, Co] accumulator stays VMEM
         # resident across the whole (sequential) grid
-        out_specs=pl.BlockSpec((9, 3 * C, Co), lambda i, blk_ref: (0, 0, 0)),
+        out_specs=pl.BlockSpec((9, 3 * C, Co),
+                               lambda i, blk_ref, nv_ref: (0, 0, 0)),
     )
     dw9 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((9, 3 * C, Co), jnp.float32),
         interpret=interpret,
-    )(blk, col4, hit4, gp, mask_r, *([fp] * (9 * nblk)))
+    )(blk, nv, col4, hit4, gp, mask_r, *([fp] * (9 * nblk)))
     return dw9.reshape(9, 3, C, Co).reshape(27, C, Co)
 
 
@@ -524,7 +535,7 @@ def _ad_bwd(groups, nblk, interpret, res, g):
     dw = conv_columns_pallas_dw(feats, g, col_idx, hit, out_mask,
                                 groups=groups, nblk=nblk,
                                 interpret=interpret, blk=blk, col_r=col_r,
-                                hit_r=hit_r)
+                                hit_r=hit_r, nvalid=nvalid)
     return (df, dw.astype(weights.dtype), _f0_like(col_idx), _f0_like(hit),
             _f0_like(out_mask), _f0_like(blk), _f0_like(col_r),
             _f0_like(hit_r), _f0_like(pre), _f0_like(nvalid))

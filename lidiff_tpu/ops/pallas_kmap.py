@@ -51,53 +51,67 @@ def _make_kernel(T: int, nblk: int, s: int):
     W = nblk * T
     SPAN = K.COORD_SPAN          # 4096 field span
 
-    def kernel(blk_ref, keys_ref, mask_ref, *rest):
+    def kernel(blk_ref, nv_ref, keys_ref, mask_ref, *rest):
         wnd_refs = rest[:9 * nblk]
         col_ref = rest[9 * nblk]
         hit_ref = rest[9 * nblk + 1]
         i = pl.program_id(0)
-        kh = keys_ref[0, 0, :]                        # [T]
-        kl = keys_ref[0, 1, :]
-        msk = mask_ref[0, 0, :].astype(jnp.int32)
-        # coordinate fields (all non-negative by key construction)
-        xf = kh % SPAN
-        yf = kl // SPAN
-        zf = kl % SPAN
 
-        for j, (dx, dy) in enumerate(_OFFS):
-            qh = kh + dx * s
-            ql = kl + dy * s * SPAN - s
-            okx = ((xf + dx * s) >= 0) & ((xf + dx * s) < SPAN)
-            oky = ((yf + dy * s) >= 0) & ((yf + dy * s) < SPAN)
-            okz = (zf - s) >= 0
-            ok = (msk != 0) & okx & oky & okz          # [T] i1
+        # tiles past the live-voxel count have only padding queries: skip
+        # their compare loops entirely (same valid-rows-first invariant as
+        # the conv's tile skipping, ops/pallas_conv.py)
+        @pl.when(i * T >= nv_ref[0])
+        def _dead():
+            col_ref[:] = jnp.zeros_like(col_ref)
+            hit_ref[:] = jnp.zeros_like(hit_ref)
 
-            qhr = qh[None, :]                          # [1, T]
-            qlr = ql[None, :]
-            lb_rel = jnp.zeros((T,), jnp.int32)
-            m0 = jnp.zeros((T,), jnp.int32)
-            m1 = jnp.zeros((T,), jnp.int32)
-            m2 = jnp.zeros((T,), jnp.int32)
-            # per window block: [T_w, T] lexicographic compares, reduced
-            # over the (cheap) sublane axis and accumulated across blocks
-            for b in range(nblk):
-                whc = wnd_refs[j * nblk + b][0, :, 0:1]          # [T_w, 1]
-                wlc = wnd_refs[j * nblk + b][0, :, 1:2]
-                less = (whc < qhr) | ((whc == qhr) & (wlc < qlr))
-                lb_rel = lb_rel + jnp.sum(less.astype(jnp.int32), axis=0)
-                same_h = whc == qhr
-                m0 = jnp.maximum(m0, jnp.max(
-                    (same_h & (wlc == qlr)).astype(jnp.int32), axis=0))
-                m1 = jnp.maximum(m1, jnp.max(
-                    (same_h & (wlc == qlr + s)).astype(jnp.int32), axis=0))
-                m2 = jnp.maximum(m2, jnp.max(
-                    (same_h & (wlc == qlr + 2 * s)).astype(jnp.int32),
-                    axis=0))
-            oki = ok.astype(jnp.int32)
-            col_ref[0, j, :] = blk_ref[i, j] * T + lb_rel
-            hit_ref[0, 3 * j + 0, :] = m0 * oki
-            hit_ref[0, 3 * j + 1, :] = m1 * oki
-            hit_ref[0, 3 * j + 2, :] = m2 * oki
+        @pl.when(i * T < nv_ref[0])
+        def _live():
+            kh = keys_ref[0, 0, :]                    # [T]
+            kl = keys_ref[0, 1, :]
+            msk = mask_ref[0, 0, :].astype(jnp.int32)
+            # coordinate fields (all non-negative by key construction)
+            xf = kh % SPAN
+            yf = kl // SPAN
+            zf = kl % SPAN
+
+            for j, (dx, dy) in enumerate(_OFFS):
+                qh = kh + dx * s
+                ql = kl + dy * s * SPAN - s
+                okx = ((xf + dx * s) >= 0) & ((xf + dx * s) < SPAN)
+                oky = ((yf + dy * s) >= 0) & ((yf + dy * s) < SPAN)
+                okz = (zf - s) >= 0
+                ok = (msk != 0) & okx & oky & okz      # [T] i1
+
+                qhr = qh[None, :]                      # [1, T]
+                qlr = ql[None, :]
+                lb_rel = jnp.zeros((T,), jnp.int32)
+                m0 = jnp.zeros((T,), jnp.int32)
+                m1 = jnp.zeros((T,), jnp.int32)
+                m2 = jnp.zeros((T,), jnp.int32)
+                # per window block: [T_w, T] lexicographic compares,
+                # reduced over the (cheap) sublane axis and accumulated
+                # across blocks
+                for b in range(nblk):
+                    whc = wnd_refs[j * nblk + b][0, :, 0:1]      # [T_w, 1]
+                    wlc = wnd_refs[j * nblk + b][0, :, 1:2]
+                    less = (whc < qhr) | ((whc == qhr) & (wlc < qlr))
+                    lb_rel = lb_rel + jnp.sum(less.astype(jnp.int32),
+                                              axis=0)
+                    same_h = whc == qhr
+                    m0 = jnp.maximum(m0, jnp.max(
+                        (same_h & (wlc == qlr)).astype(jnp.int32), axis=0))
+                    m1 = jnp.maximum(m1, jnp.max(
+                        (same_h & (wlc == qlr + s)).astype(jnp.int32),
+                        axis=0))
+                    m2 = jnp.maximum(m2, jnp.max(
+                        (same_h & (wlc == qlr + 2 * s)).astype(jnp.int32),
+                        axis=0))
+                oki = ok.astype(jnp.int32)
+                col_ref[0, j, :] = blk_ref[i, j] * T + lb_rel
+                hit_ref[0, 3 * j + 0, :] = m0 * oki
+                hit_ref[0, 3 * j + 1, :] = m1 * oki
+                hit_ref[0, 3 * j + 2, :] = m2 * oki
 
     return kernel
 
@@ -138,12 +152,12 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
 
     kernel = _make_kernel(T, nblk, s)
     in_specs = [
-        pl.BlockSpec((1, 2, T), lambda i, blk_ref: (i, 0, 0)),   # tile keys
-        pl.BlockSpec((1, 1, T), lambda i, blk_ref: (i, 0, 0)),   # mask
+        pl.BlockSpec((1, 2, T), lambda i, blk_ref, nv_ref: (i, 0, 0)),
+        pl.BlockSpec((1, 1, T), lambda i, blk_ref, nv_ref: (i, 0, 0)),
     ]
 
     def _wnd_index_map(j, b):
-        def index_map(i, blk_ref):
+        def index_map(i, blk_ref, nv_ref):
             return (blk_ref[i, j] + b, 0, 0)
         return index_map
 
@@ -152,22 +166,23 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
             in_specs.append(pl.BlockSpec((1, T, 2), _wnd_index_map(j, b)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 9, T), lambda i, blk_ref: (i, 0, 0)),
-            pl.BlockSpec((1, 27, T), lambda i, blk_ref: (i, 0, 0)),
+            pl.BlockSpec((1, 9, T), lambda i, blk_ref, nv_ref: (i, 0, 0)),
+            pl.BlockSpec((1, 27, T), lambda i, blk_ref, nv_ref: (i, 0, 0)),
         ],
     )
     mask3 = mask.reshape(nt, 1, T)
+    nv = jnp.asarray(geom.num, jnp.int32).reshape(1)
     col_r, hit_r = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nt, 9, T), jnp.int32),
                    jax.ShapeDtypeStruct((nt, 27, T), jnp.int32)],
         interpret=interpret,
-    )(blk, keys2, mask3, *([keys_wnd] * (9 * nblk)))
+    )(blk, nv, keys2, mask3, *([keys_wnd] * (9 * nblk)))
 
     col_idx = jnp.clip(col_r.transpose(0, 2, 1).reshape(Vp, 9)[:V],
                        0, V - 1)
