@@ -765,7 +765,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                          (0, 0, 0)),
             pl.BlockSpec((1, 1, T), lambda i, lo_ref, nv_ref: (i, 0, 0)),
             pl.BlockSpec((1, Co), lambda i, lo_ref, nv_ref: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # feats
+            pl.BlockSpec(memory_space=pl.ANY),               # feats
         ],
         out_specs=pl.BlockSpec((T, G * Co),
                                lambda i, lo_ref, nv_ref: (i, 0)),
