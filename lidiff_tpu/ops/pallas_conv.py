@@ -573,12 +573,16 @@ W_ROWS = 320        # manual window rows: span(128)<=249 + 31 align + margin
 
 
 def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
-                    W: int, CGp: int):
+                    W: int, CGp: int, quant: bool = False):
 
     def kernel(lo_ref, nv_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref,
                feats_any, o_ref, wnd, sems):
         i = pl.program_id(0)
-        dt = wnd.dtype
+        # quant: the window payload is int8 (per-channel-quantized feats;
+        # scales are folded into w_ref's rows by the caller), the one-hot
+        # gather GEMM runs on the int8 MXU path at 2x rate with an exact
+        # int32 row pick, and the slab GEMM runs in w_ref's dtype
+        dt = w_ref.dtype if quant else wnd.dtype
 
         # valid voxels are the FIRST nv rows (lex-sorted keys, padding
         # last), so whole output tiles past nv skip their DMAs and math —
@@ -616,6 +620,8 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
                     wnd.at[slot, j], sems.at[slot, j]).wait()
 
             iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+            sel_dt = jnp.int8 if quant else dt
+            acc_dt = jnp.int32 if quant else jnp.float32
             accs = [jnp.zeros((T, Co), jnp.float32) for _ in range(G)]
             for j in range(9):
                 lo = lo_ref[i, j]
@@ -626,11 +632,15 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
                 r1 = r0 + m0
                 r2 = r1 + m1
                 sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
-                                  jnp.float32(1), jnp.float32(0)).astype(dt)
+                                  jnp.float32(1),
+                                  jnp.float32(0)).astype(sel_dt)
                         for m, r in ((m0, r0), (m1, r1), (m2, r2))]
                 win = wnd[slot, j]                    # [W, CGp]
-                gz = [jnp.dot(sel, win, preferred_element_type=jnp.float32)
+                gz = [jnp.dot(sel, win, preferred_element_type=acc_dt)
                       for sel in sels]
+                if quant:
+                    # |q| <= 127: the int32 row pick casts exactly
+                    gz = [g.astype(dt) for g in gz]
                 w3 = w_ref[j]
                 for gi in range(G):
                     sl = slice(gi * C, (gi + 1) * C)
@@ -651,7 +661,7 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("groups", "interpret", "out_dtype",
-                                    "relu", "tile", "wrows"))
+                                    "relu", "tile", "wrows", "quant"))
 def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                            groups: int = 1, interpret: bool = False,
                            out_dtype=None,
@@ -659,7 +669,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                            bias=None, relu: bool = False,
                            tile: int | None = None,
                            wrows: int | None = None,
-                           pre=None, nvalid=None):
+                           pre=None, nvalid=None, quant: bool = False):
     """Manual-DMA variant of conv_columns_pallas (identical math).
 
     `pre`: optional (lo, col4, hit4) from regroup_for_geometry for THIS
@@ -669,6 +679,14 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     rows by key-sort construction); output tiles past it skip their DMAs
     and math entirely — a large win on coarse levels that run far under
     their static capacity.
+    `quant`: int8 window payload.  The one-hot selector GEMM — the
+    dominant MXU cost at every width — runs on the int8 MXU path at 2x
+    the bf16 rate with HALF the window DMA bytes and VMEM scratch; the
+    row pick itself stays EXACT (one-hot x int8 -> int32).  The only
+    approximation is per-channel symmetric int8 quantization of the
+    input features (scales shared across the G classifier-free groups
+    and folded into the slab-GEMM weights, so no dequant pass exists).
+    Eval-only; the caller gates it to activation convs (Cin >= 32).
     """
     V, CG = feats.shape
     Kt, C, Co = weights.shape
@@ -692,7 +710,8 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                 weights[:, a:b, :], out_mask, groups=G,
                 interpret=interpret, out_dtype=jnp.float32,
                 blk=blk, col_r=col_r, hit_r=hit_r,
-                tile=tile, wrows=wrows, pre=pre, nvalid=nvalid)
+                tile=tile, wrows=wrows, pre=pre, nvalid=nvalid,
+                quant=quant)
             acc = out_p if acc is None else acc + out_p
             ov1 = ov_p if ov1 is None else ov1
         if bias is not None:
@@ -714,7 +733,24 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     # widths (stem 64, the 96-channel up stages' 192, ...) up to the next
     # 128 multiple with zero lanes the slab slices never read
     CGp = -(-max(CG, 128) // 128) * 128
-    fp = jnp.pad(feats, ((0, Vp - V), (0, CGp - CG)))
+    if quant:
+        # per-channel symmetric int8, scales shared across groups (the
+        # cond/uncond classifier-free streams run the same net, so their
+        # per-channel ranges match); padding rows are zero and stay zero
+        f3 = feats.astype(jnp.float32).reshape(V, G, C)
+        amax = jnp.max(jnp.abs(f3), axis=(0, 1))                 # [C]
+        scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(f3 / scale[None, None, :]), -127, 127)
+        feats_w = q.reshape(V, CG).astype(jnp.int8)
+        # fold the dequant into the slab weights: slab rows are the 3
+        # z-taps x C input channels, every tap scaled by its channel
+        weights = (weights.astype(jnp.float32)
+                   * scale[None, :, None]).astype(dt)
+        wdt = jnp.int8
+    else:
+        feats_w = feats
+        wdt = dt
+    fp = jnp.pad(feats_w, ((0, Vp - V), (0, CGp - CG)))
     om = jnp.pad(out_mask.astype(jnp.int8), (0, Vp - V))
     mask_r = om.reshape(nt, 1, T)
 
@@ -752,7 +788,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     nv = (jnp.full((1,), V, jnp.int32) if nvalid is None
           else jnp.asarray(nvalid, jnp.int32).reshape(1))
 
-    kernel = _make_kernel_v2(T, C, Co, G, relu, nt, W, CGp)
+    kernel = _make_kernel_v2(T, C, Co, G, relu, nt, W, CGp, quant=quant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
@@ -770,7 +806,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         out_specs=pl.BlockSpec((T, G * Co),
                                lambda i, lo_ref, nv_ref: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, W, CGp), dt),
+            pltpu.VMEM((2, 9, W, CGp), wdt),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
@@ -798,12 +834,15 @@ def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
                           groups: int = 1, interpret: bool = False,
                           out_dtype=None, blk=None, col_r=None, hit_r=None,
                           bias=None, relu: bool = False, pre=None,
-                          nvalid=None):
+                          nvalid=None, quant: bool = False):
     """The production column conv: picks the fastest measured kernel
     geometry for the conv's width.  Identical math to v1/v2 (exact).
 
     `pre`: optional dict {(tile, wrows): (lo, col4, hit4)} from the kernel
-    map builder (ColumnKernelMap.pre); `nvalid` see v2."""
+    map builder (ColumnKernelMap.pre); `nvalid` see v2.
+    `quant`: int8 window payload (see conv_columns_pallas_v2) — applied
+    only to activation convs (Cin >= 32); the stem/head convs carry raw
+    geometry-scaled values that 8 bits cannot represent."""
     G = groups
     C = weights.shape[1]
     t, w = DISPATCH_NARROW if G * min(C, 128) <= 128 else DISPATCH_WIDE
@@ -813,4 +852,5 @@ def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
                                   out_dtype=out_dtype, blk=blk,
                                   col_r=col_r, hit_r=hit_r, bias=bias,
                                   relu=relu, tile=t, wrows=w, pre=p,
-                                  nvalid=nvalid)
+                                  nvalid=nvalid,
+                                  quant=bool(quant) and C >= 32)

@@ -49,6 +49,13 @@ SCAN_TAPS = os.environ.get("LIDIFF_CONV_SCAN", "0").lower() in ("1", "true")
 # per-process for A/B timing.
 USE_PALLAS = os.environ.get("LIDIFF_PALLAS", "1").lower() in ("1", "true")
 
+# int8 window payload for the EVAL conv kernels (LIDIFF_CONV_QUANT=int8):
+# the one-hot gather GEMM — the dominant MXU cost — runs at 2x rate with
+# half the window DMA bytes; the only approximation is per-channel int8
+# quantization of activation-conv inputs (see conv_columns_pallas_v2).
+# Training and the stem/head geometry convs always stay in COMPUTE_DTYPE.
+CONV_QUANT = os.environ.get("LIDIFF_CONV_QUANT", "").lower() == "int8"
+
 
 def _on_tpu() -> bool:
     try:
@@ -60,6 +67,15 @@ def _on_tpu() -> bool:
 def set_use_pallas(flag: bool) -> None:
     global USE_PALLAS
     USE_PALLAS = bool(flag)
+
+
+def set_conv_quant(flag: bool) -> None:
+    """Toggle the int8 eval-conv path. Takes effect on the next TRACE of a
+    caller (the flag is read at trace time); jitted closures traced before
+    the toggle keep their path — set LIDIFF_CONV_QUANT per process for
+    A/B timing."""
+    global CONV_QUANT
+    CONV_QUANT = bool(flag)
 
 
 def set_precision(name: str) -> None:
@@ -131,8 +147,21 @@ def sparse_conv_columns(feats: jnp.ndarray, kmap: ColumnKernelMap,
                                        hit_r=getattr(kmap, "hit_r", None),
                                        bias=bias, relu=relu,
                                        pre=getattr(kmap, "pre", None),
-                                       nvalid=getattr(kmap, "nvalid", None))
+                                       nvalid=getattr(kmap, "nvalid", None),
+                                       quant=CONV_QUANT)
         return out
+
+    if CONV_QUANT and (bias is not None or relu) and Cin >= 32:
+        # fake-quant mirror of the Pallas int8 path on the non-Pallas
+        # (CPU / A-B) path: quantize-dequantize the input with the exact
+        # kernel formula so end-to-end quality of LIDIFF_CONV_QUANT=int8
+        # can be evaluated anywhere. Gated to the eval epilogue calls
+        # (bias is the folded BN — training convs never quantize).
+        f3 = cf.astype(jnp.float32).reshape(-1, G, Cin)
+        amax = jnp.max(jnp.abs(f3), axis=(0, 1))
+        scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(f3 / scale[None, None, :]), -127, 127)
+        cf = (q * scale[None, None, :]).reshape(cf.shape).astype(cf.dtype)
 
     return _sparse_conv_columns_xla(cf, kmap, cw, out_mask, G, bias, relu,
                                     out_dtype)

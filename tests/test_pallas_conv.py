@@ -369,3 +369,114 @@ def test_pre_layout_and_tile_skip_match(pyramid):
         np.testing.assert_array_equal(np.asarray(half)[:nv],
                                       np.asarray(base)[:nv])
         assert (np.asarray(half)[-(V - nv - 256):] == 0).all()
+
+
+def _fake_quant(feats, G, C):
+    """The kernel's exact quantization formula, applied in numpy:
+    per-channel symmetric int8, scales shared across groups."""
+    V = feats.shape[0]
+    f3 = feats.reshape(V, G, C).astype(np.float64)
+    amax = np.abs(f3).max(axis=(0, 1))
+    scale = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+    q = np.clip(np.round(f3.astype(np.float32) / scale[None, None, :]),
+                -127, 127).astype(np.float32)
+    return (q * scale[None, None, :]).reshape(V, G * C), scale
+
+
+def test_quant_exact_on_integer_feats(pyramid):
+    """With integer-valued feats whose per-channel amax is exactly 127,
+    the int8 path is bit-exact vs the unquantized v2 kernel (scale == 1,
+    every row pick and cast exact)."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    rng = np.random.default_rng(90)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co, G = 32, 24, 2
+    feats = rng.integers(-127, 128, (V, G * C)).astype(np.float32)
+    feats[:1] = 127.0                     # pin per-channel amax to 127
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    base, _ = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                     L.kmap3.hit, jnp.asarray(w),
+                                     L.geom.mask, groups=G, interpret=True)
+    got, ov = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                     L.kmap3.hit, jnp.asarray(w),
+                                     L.geom.mask, groups=G, interpret=True,
+                                     quant=True)
+    assert int(ov) == 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+@pytest.mark.parametrize("C,Co,G", [(32, 24, 1), (48, 16, 2)])
+def test_quant_matches_fake_quant_oracle(pyramid, C, Co, G):
+    """The int8 kernel == the XLA f32 conv run on quantize-dequantized
+    feats (the kernel's only approximation IS that quantization; the
+    one-hot row pick and int32 accumulate are exact)."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    rng = np.random.default_rng(91 + C)
+    L = pyramid.levels[2]
+    V = L.geom.capacity
+    feats = (rng.normal(0, 1, (V, G * C)) *
+             rng.uniform(0.05, 8.0, (1, G * C))).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    fq, _ = _fake_quant(feats, G, C)
+    ref = sc.sparse_conv_columns(jnp.asarray(fq), L.kmap3, jnp.asarray(w),
+                                 L.geom.mask, groups=G)
+    got, ov = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                     L.kmap3.hit, jnp.asarray(w),
+                                     L.geom.mask, groups=G, interpret=True,
+                                     quant=True)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-4)
+
+
+def test_quant_dispatch_gates_geometry_convs(pyramid):
+    """conv_columns_dispatch(quant=True) must leave Cin < 32 convs (stem /
+    head: raw geometry-scaled inputs) unquantized — identical output to
+    quant=False."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_dispatch
+    rng = np.random.default_rng(93)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co = 16, 24
+    feats = rng.normal(0, 3, (V, C)).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    base, _ = conv_columns_dispatch(jnp.asarray(feats), L.kmap3.col_idx,
+                                    L.kmap3.hit, jnp.asarray(w),
+                                    L.geom.mask, interpret=True)
+    got, _ = conv_columns_dispatch(jnp.asarray(feats), L.kmap3.col_idx,
+                                   L.kmap3.hit, jnp.asarray(w),
+                                   L.geom.mask, interpret=True, quant=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
+def test_xla_fake_quant_mirror_matches_kernel(pyramid):
+    """sparse_conv_columns' CONV_QUANT fake-quant mirror (the CPU / A-B
+    path) must equal the Pallas int8 kernel: same formula, same gate."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_v2
+    rng = np.random.default_rng(95)
+    L = pyramid.levels[1]
+    V = L.geom.capacity
+    C, Co = 32, 16
+    feats = (rng.normal(0, 1, (V, C)) *
+             rng.uniform(0.1, 5.0, (1, C))).astype(np.float32)
+    feats[~np.asarray(L.geom.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    b = rng.normal(0, 0.5, (Co,)).astype(np.float32)
+    sc.set_conv_quant(True)
+    try:
+        ref = sc.sparse_conv_columns(jnp.asarray(feats), L.kmap3,
+                                     jnp.asarray(w), L.geom.mask,
+                                     bias=jnp.asarray(b), relu=True,
+                                     allow_pallas=False)
+    finally:
+        sc.set_conv_quant(False)
+    got, _ = conv_columns_pallas_v2(jnp.asarray(feats), L.kmap3.col_idx,
+                                    L.kmap3.hit, jnp.asarray(w),
+                                    L.geom.mask, interpret=True, quant=True,
+                                    bias=jnp.asarray(b), relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-4)
