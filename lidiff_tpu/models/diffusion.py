@@ -331,7 +331,12 @@ class DiffusionTask:
         tables in the compiled closure, and a recycled `id()` of a dead
         solver must not resurrect a stale closure."""
         s = solver or self.solver
-        cache_key = (s.value_key(), w_uncond, chunk)
+        # trace-time conv-path globals belong in the key: a closure traced
+        # with the int8 eval path (or a different compute dtype) must not
+        # serve a call made after the flag was toggled
+        from lidiff_tpu.ops import sparse_conv as _sc
+        cache_key = (s.value_key(), w_uncond, chunk, _sc.CONV_QUANT,
+                     _sc.USE_PALLAS, jnp.dtype(_sc.COMPUTE_DTYPE).name)
         if not hasattr(self, "_chunk_cache"):
             self._chunk_cache = {}
         if cache_key not in self._chunk_cache:

@@ -480,3 +480,43 @@ def test_xla_fake_quant_mirror_matches_kernel(pyramid):
                                     bias=jnp.asarray(b), relu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-4)
+
+
+def test_custom_vjp_grads_with_builder_layouts(pyramid):
+    """Grads through the AD conv fed the kernel-map builder's pre-tiled
+    layouts (blk/col_r/hit_r/pre/nvalid — the production training path,
+    which routes dw through the v2 manual-DMA weight-grad kernel) must
+    match XLA autodiff."""
+    from lidiff_tpu.ops.pallas_conv import conv_columns_pallas_ad
+    from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
+    rng = np.random.default_rng(99)
+    L = pyramid.levels[1]
+    g = L.geom
+    V = g.capacity
+    G, C, Co = 2, 16, 24
+    km = build_kmap3_columns_pallas(g, interpret=True)
+    assert km.pre is not None
+    feats = rng.normal(0, 1, (V, G * C)).astype(np.float32)
+    feats[~np.asarray(g.mask)] = 0.0
+    w = rng.normal(0, 0.1, (27, C, Co)).astype(np.float32)
+    cot = rng.normal(0, 1, (V, G * Co)).astype(np.float32)
+
+    def loss_xla(f, ww):
+        out = sc.sparse_conv_columns(f, km, ww, g.mask, groups=G,
+                                     allow_pallas=False)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(f, ww):
+        out = conv_columns_pallas_ad(G, 4, True, f, ww, km.col_idx,
+                                     km.hit, g.mask, km.blk, km.col_r,
+                                     km.hit_r, km.pre, km.nvalid)
+        return jnp.sum(out * cot)
+
+    df_x, dw_x = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(feats),
+                                                    jnp.asarray(w))
+    df_p, dw_p = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(feats),
+                                                       jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_x),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                               rtol=0, atol=2e-4)
