@@ -178,6 +178,36 @@ def main():
 
     steps_per_sec = s_steps / elapsed
 
+    # int8 eval-conv variant (LIDIFF_CONV_QUANT=int8): the one-hot gather
+    # GEMM — the dominant per-conv MXU cost — on the int8 MXU path at 2x
+    # the bf16 rate. Reported as a SECONDARY number: the headline stays on
+    # the exact bf16 path; int8 per-channel-quantizes activation-conv
+    # inputs (sampling quality pinned vs full precision on a trained model
+    # by tests/test_learning.py). Disable with BENCH_INT8=0.
+    int8_sps = None
+    if os.environ.get("BENCH_INT8", "1") == "1":
+        from lidiff_tpu.ops import sparse_conv as _sc
+        _sc.set_conv_quant(True)
+        try:
+            prep_q, run_q, fin_q, _ = task.make_chunked_sampler(
+                solver=solver, chunk=chunk)
+
+            def sample_q(v, xi, p, k):
+                ctx = prep_q(v, xi, p, k)
+                for i0 in range(0, n_steps, chunk):
+                    ctx = run_q(v, ctx, jnp.int32(i0))
+                return fin_q(ctx)
+
+            out = sample_q(variables, xi, pp, k)     # compile + first
+            out.block_until_ready()
+            t0 = time.time()
+            for i in range(reps):
+                out = sample_q(variables, xi, pp, jax.random.fold_in(k, i))
+            out.block_until_ready()
+            int8_sps = s_steps / ((time.time() - t0) / reps)
+        finally:
+            _sc.set_conv_quant(False)
+
     # capacity + conv-window validation on the real input: any overflow
     # means voxels (or conv taps) were dropped and capacities / window
     # sizes must be re-derived (scripts/measure_occupancy)
@@ -248,6 +278,8 @@ def main():
             "capacity_overflow_per_level": [int(x) for x in ov],
             "window_overflow_per_level": [int(x) for x in wov],
             "compute_dtype": os.environ["LIDIFF_COMPUTE_DTYPE"],
+            "steps_per_sec_int8_eval": (round(int8_sps, 3)
+                                        if int8_sps else None),
             "train_steps_per_sec": (round(train_sps, 3)
                                     if train_sps else None),
             "train_compile_plus_first_s": (round(train_compile_s, 1)
