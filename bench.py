@@ -261,6 +261,47 @@ def main():
         jax.block_until_ready(m)
         train_sps = treps / (time.time() - t0)
 
+    # refinement-net training throughput (BASELINE config #3:
+    # train_refine.py on GT maps, single chip): chamfer-loss
+    # value_and_grad + Adam on the MinkUNet refiner at the same point
+    # count. Disable with BENCH_REFINE=0.
+    refine_sps = None
+    if os.environ.get("BENCH_REFINE", "1") == "1":
+        import optax
+        from lidiff_tpu.models.refine import RefineTask
+        rtask = RefineTask(cfg)
+        rvars = rtask.init(jax.random.PRNGKey(5), batch_size=1,
+                           n_points=2048)
+        ropt = optax.adam(1e-4)
+        rparams = rvars["params"]
+        rbs = rvars["batch_stats"]
+        ropt_state = ropt.init(rparams)
+        # reference refine operating point (SemanticKITTITemporalAggr.py:
+        # 92-96): noisy input at num_points (voxelized), GT at 2*num_points
+        # (chamfer target only, never voxelized)
+        rbatch = {"pcd_noise": xi,
+                  "pcd_full": jnp.concatenate([xi, xi], axis=1)}
+
+        @jax.jit
+        def refine_step(params, opt_state, batch_stats, key):
+            (_, (bs, m)), grads = jax.value_and_grad(
+                rtask.loss_fn, has_aux=True)(params, batch_stats, rbatch,
+                                             key)
+            ups, opt_state = ropt.update(grads, opt_state)
+            return optax.apply_updates(params, ups), opt_state, bs, m
+
+        kr = jax.random.PRNGKey(7)
+        rparams, ropt_state, rbs, m = refine_step(rparams, ropt_state,
+                                                  rbs, kr)
+        jax.block_until_ready(m)
+        rreps = int(os.environ.get("BENCH_REFINE_REPS", 4))
+        t0 = time.time()
+        for i in range(rreps):
+            rparams, ropt_state, rbs, m = refine_step(
+                rparams, ropt_state, rbs, jax.random.fold_in(kr, i))
+        jax.block_until_ready(m)
+        refine_sps = rreps / (time.time() - t0)
+
     result = {
         "metric": "denoise_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
@@ -284,6 +325,8 @@ def main():
                                     if train_sps else None),
             "train_compile_plus_first_s": (round(train_compile_s, 1)
                                            if train_compile_s else None),
+            "refine_train_steps_per_sec": (round(refine_sps, 3)
+                                           if refine_sps else None),
         },
     }
     print(json.dumps(result))

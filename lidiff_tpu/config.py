@@ -58,6 +58,9 @@ def _round8(x: int) -> int:
 #   N=60k : full worst [1, .998, .982, .876, .508]
 #   N=180k: full worst [.999, .991, .939, .699, .309]
 _FRACTION_TABLE = (
+    # below the measured range (20k) voxels barely merge at ANY level —
+    # seen: L4 overflow on a 3k-point smoke at the 0.85 row
+    (20_000, (1.0, 1.0, 1.0, 1.0, 1.0)),
     (50_000, (1.0, 1.0, 1.0, 1.0, 0.85)),
     (120_000, (1.0, 1.0, 1.0, 0.95, 0.6)),
     (10 ** 12, (1.0, 1.0, 1.0, 0.8, 0.4)),
