@@ -216,7 +216,7 @@ def main(ckpt, out, kind, tap_order, dry_run):
         for p, leaf in jax.tree_util.tree_leaves_with_path(params)[:20]:
             print(p, leaf.shape)
         return
-    from lidiff_tpu.train.trainer import CheckpointManager
+    from lidiff_tpu.training.trainer import CheckpointManager
     cm = CheckpointManager(os.path.join(out, "checkpoints"))
     hparams = raw.get("hyper_parameters")
     cm.save(0, {"params": params, "batch_stats": stats, "step": 0},

@@ -28,7 +28,7 @@ from lidiff_tpu.diffusion.dpm_solver import make_dpm_solver
 from lidiff_tpu.models.diffusion import DiffusionTask
 from lidiff_tpu.models.refine import RefineTask
 from lidiff_tpu.ops.fps import fps
-from lidiff_tpu.train.trainer import CheckpointManager
+from lidiff_tpu.training.trainer import CheckpointManager
 from lidiff_tpu.utils import ply
 from lidiff_tpu.utils.natsort import natsorted
 

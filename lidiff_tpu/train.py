@@ -18,7 +18,7 @@ from lidiff_tpu.config import finalize_config, load_config, save_config
 from lidiff_tpu.data.datasets import dataloaders
 from lidiff_tpu.models.diffusion import DiffusionTask
 from lidiff_tpu.parallel import mesh as pmesh
-from lidiff_tpu.train.trainer import CheckpointManager, Trainer
+from lidiff_tpu.training.trainer import CheckpointManager, Trainer
 from lidiff_tpu.utils.metrics import ChamferDistance, PrecisionRecall
 
 
@@ -57,7 +57,9 @@ def main(config, weights, checkpoint, test, max_steps):
         ckpt_cfg["data"].setdefault("max_range", 50.0)
         cfg = finalize_config(ckpt_cfg)
 
-    n_dev = len(jax.devices())
+    # reference semantics: train.n_gpus is the DDP world size
+    # (reference train.py:88-101), capped at the devices present
+    n_dev = min(int(cfg["train"].get("n_gpus", 1)), len(jax.devices()))
     axis = pmesh.DATA_AXIS if n_dev > 1 else None
     task = DiffusionTask(cfg, axis_name=axis)
     data = dataloaders[cfg["data"]["dataloader"]](cfg)

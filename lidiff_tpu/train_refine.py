@@ -15,7 +15,7 @@ from lidiff_tpu.config import load_config, save_config
 from lidiff_tpu.data.datasets import dataloaders_refine
 from lidiff_tpu.models.refine import RefineTask
 from lidiff_tpu.parallel import mesh as pmesh
-from lidiff_tpu.train.trainer import CheckpointManager, Trainer
+from lidiff_tpu.training.trainer import CheckpointManager, Trainer
 
 
 @click.command()
@@ -30,7 +30,9 @@ def main(config, weights, checkpoint, test, max_steps):
     np.random.seed(42)
     cfg = load_config(config)
 
-    n_dev = len(jax.devices())
+    # reference semantics: train.n_gpus is the DDP world size (capped at
+    # the devices present; see training/trainer.py)
+    n_dev = min(int(cfg["train"].get("n_gpus", 1)), len(jax.devices()))
     axis = pmesh.DATA_AXIS if n_dev > 1 else None
     task = RefineTask(cfg, axis_name=axis)
     data = dataloaders_refine[cfg["data"]["dataloader"]](cfg)

@@ -123,6 +123,13 @@ class Trainer:
         self.cfg = cfg
         self.exp_dir = exp_dir
         self.steps_per_epoch = steps_per_epoch
+        if n_devices is None:
+            # reference semantics: train.n_gpus is the DDP world size
+            # (reference train.py:88-101); default to it rather than
+            # grabbing every local device (an 8-device host with
+            # batch_size=1 and n_gpus=1 must not shard the batch 8 ways)
+            n_devices = min(int(cfg["train"].get("n_gpus", 1)),
+                            len(jax.devices()))
         self.mesh = pmesh.make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
         self.opt, self.schedule = make_optimizer(

@@ -12,7 +12,7 @@ import pytest
 from lidiff_tpu.config import finalize_config
 from lidiff_tpu.models.diffusion import DiffusionTask
 from lidiff_tpu.models.refine import RefineTask
-from lidiff_tpu.train.trainer import CheckpointManager
+from lidiff_tpu.training.trainer import CheckpointManager
 from lidiff_tpu.utils import ply
 from tests.helpers import make_kitti_tree
 

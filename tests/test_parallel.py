@@ -1,6 +1,8 @@
 """Multi-device data parallelism on the virtual 8-device CPU mesh:
 shard_map train step, sync batch norm, replica consistency."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,10 +91,24 @@ def test_sharded_batched_inference_matches_single_device():
 
 
 def test_graft_dryrun_multichip():
+    """Exercise the driver's multichip dryrun in a FRESH subprocess — the
+    same way the driver invokes it. In-process it is flaky: the converter
+    tests load torch, whose bundled LLVM can segfault XLA:CPU's compile of
+    the large 8-device program later in the same process (seen 2026-08-18
+    on an avx512-partial host, both in backend_compile and in cache
+    deserialize)."""
+    import subprocess
     import sys
-    sys.path.insert(0, ".")
-    import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root      # drop .axon_site: CPU-only, no tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
 
 
 def test_sharded_training_step_realistic_scale():

@@ -12,7 +12,7 @@ from lidiff_tpu.config import finalize_config
 from lidiff_tpu.data.datasets import dataloaders
 from lidiff_tpu.models.diffusion import DiffusionTask
 from lidiff_tpu.parallel import mesh as pmesh
-from lidiff_tpu.train.trainer import Trainer
+from lidiff_tpu.training.trainer import Trainer
 from tests.helpers import make_kitti_tree
 
 pytestmark = pytest.mark.slow
@@ -76,7 +76,7 @@ def test_trainer_steps_and_checkpoint(tmp_path):
 
 
 def test_lr_schedule():
-    from lidiff_tpu.train.trainer import make_optimizer
+    from lidiff_tpu.training.trainer import make_optimizer
     opt, sched = make_optimizer(1e-4, decay_every_epochs=5,
                                 steps_per_epoch=10)
     assert sched(0) == pytest.approx(1e-4)
