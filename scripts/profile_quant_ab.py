@@ -18,6 +18,16 @@ os.environ.setdefault("LIDIFF_COMPUTE_DTYPE", "bfloat16")
 import time
 
 import jax
+
+# reuse bench.py's persistent compile cache: each A/B case is a fresh
+# kernel specialization and the tunneled compile dominates wall time
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,7 +100,7 @@ def main():
     print(f"{'case':>18s} {'bf16 ms':>9s} {'int8 ms':>9s} {'x':>6s}")
     for lvl, C, Co in cases:
         L = pyr.levels[lvl]
-        km, mask = L.kmap, L.geom.mask
+        km, mask = L.kmap3, L.geom.mask
         V = L.geom.capacity
         f = jnp.asarray(rng.normal(0, 1, (V, 2 * C)), dt)
         f = jnp.where(mask[:, None], f, 0)
@@ -116,7 +126,7 @@ def main():
     print(f"{'case':>18s} {'v1 ms':>9s} {'v2 ms':>9s} {'x':>6s}")
     for lvl, C, Co in cases:
         L = pyr.levels[lvl]
-        km, mask = L.kmap, L.geom.mask
+        km, mask = L.kmap3, L.geom.mask
         V = L.geom.capacity
         f = jnp.asarray(rng.normal(0, 1, (V, 2 * C)), dt)
         f = jnp.where(mask[:, None], f, 0)
