@@ -50,7 +50,6 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._index_batches())
         self.epoch += 1
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         work_q: queue.Queue = queue.Queue()
@@ -59,11 +58,22 @@ class DataLoader:
         for i, b in enumerate(batches):
             work_q.put((i, b))
 
+        # bounds materialized-ahead batches: a worker must hold a slot
+        # before it starts building a batch; the consumer releases the slot
+        # when it pops the result. At most prefetch + num_workers batches
+        # ever exist ahead of the consumer (prefetch queued + one in
+        # flight per worker), so host RAM stays bounded at the real
+        # operating point (180k x 3 f32 full+part per item).
+        slots = threading.Semaphore(self.prefetch + self.num_workers)
+
         def worker():
             while not stop.is_set():
+                if not slots.acquire(timeout=0.1):
+                    continue
                 try:
                     i, b = work_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
                 try:
                     items = [self.dataset[int(j)] for j in b]
@@ -91,6 +101,7 @@ class DataLoader:
                                 continue
                         raise RuntimeError("data workers died")
                     stop.wait(0.005)
+                slots.release()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch

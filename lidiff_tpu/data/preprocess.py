@@ -115,7 +115,7 @@ def aggregate_pcds(scan_paths: list[str], data_dir: str,
         p = read_scan(path)
         lbl = read_labels(path.replace("velodyne", "labels")
                           .replace(".bin", ".label"))
-        p = p[lbl < 252]                       # moving points only (ref :105)
+        p = p[lbl < 252]                       # keep static points (ref :105)
         dist = np.linalg.norm(p, axis=-1)
         p = p[dist > 3.5]                      # flying artifacts (ref :111)
         p = apply_transform(p, poses[int(fname)])

@@ -93,10 +93,14 @@ def main(config, weights, checkpoint, test, max_steps):
     latest = {"state": state}
     trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
-    # resume at the epoch implied by the restored step (Lightning resumes at
-    # the saved epoch; without this a run resumed at epoch 15/20 would train
-    # 20 more epochs and misalign the LR-decay boundaries)
-    start_epoch = step // max(trainer.steps_per_epoch, 1)
+    # resume at the epoch after the restored one (Lightning resumes at the
+    # saved epoch; without this a run resumed at epoch 15/20 would train
+    # 20 more epochs and misalign the LR-decay boundaries); mid-epoch
+    # signal checkpoints record epoch=-1 and fall back to step arithmetic
+    if checkpoint and trainer.last_epoch >= 0:
+        start_epoch = trainer.last_epoch + 1
+    else:
+        start_epoch = step // max(trainer.steps_per_epoch, 1)
     for epoch in range(start_epoch, int(cfg["train"]["max_epoch"])):
         for batch in loader:
             key, k = jax.random.split(key)

@@ -76,7 +76,13 @@ def main(config, weights, checkpoint, test, max_steps):
     latest = {"state": state}
     trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
-    for epoch in range(int(cfg["train"]["max_epoch"])):
+    # epoch-aware resume (see train.py): mid-epoch signal checkpoints
+    # record epoch=-1 and fall back to step arithmetic
+    if checkpoint and trainer.last_epoch >= 0:
+        start_epoch = trainer.last_epoch + 1
+    else:
+        start_epoch = step // max(trainer.steps_per_epoch, 1)
+    for epoch in range(start_epoch, int(cfg["train"]["max_epoch"])):
         for batch in loader:
             key, k = jax.random.split(key)
             batch = {k2: jnp.asarray(v) for k2, v in batch.items()

@@ -139,6 +139,7 @@ class Trainer:
         self.step_fn = pmesh.build_train_step(task.loss_fn, self.opt,
                                               self.mesh)
         self.global_step = 0
+        self.last_epoch = -1   # epoch of the restored checkpoint, if any
 
     def init_state(self, key, batch_size: int, n_full: int, n_part: int):
         variables = self.task.init(key, batch_size=max(1, batch_size //
@@ -152,9 +153,15 @@ class Trainer:
         return pmesh.replicate(self.mesh, state)
 
     def maybe_restore(self, state: dict):
-        restored, step = self.ckpt.restore(template=state)
+        try:    # checkpoints written since the epoch field was added
+            restored, step = self.ckpt.restore(
+                template={**state, "epoch": 0})
+        except Exception:   # older checkpoints: no epoch in the payload
+            restored, step = self.ckpt.restore(template=state)
         if restored is not None:
             self.global_step = int(restored.get("step", step or 0))
+            self.last_epoch = int(restored.get("epoch", -1))
+            restored = {k: v for k, v in restored.items() if k != "epoch"}
             return pmesh.replicate(self.mesh, restored)
         return state
 
@@ -169,8 +176,13 @@ class Trainer:
         return state, metrics
 
     def save(self, epoch: int, state: dict):
+        """Checkpoint keyed by global step (unique even for mid-epoch
+        signal saves), with the epoch recorded in the payload — reference
+        checkpoints are named by epoch (train.py:80-83) and resume is
+        epoch-aware."""
         self.ckpt.save(self.global_step,
-                       {**state, "step": self.global_step},
+                       {**state, "step": self.global_step,
+                        "epoch": int(epoch)},
                        hparams=self.cfg)
 
     def install_signal_checkpointing(self, get_state):

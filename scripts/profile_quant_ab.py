@@ -21,13 +21,9 @@ import jax
 
 # reuse bench.py's persistent compile cache: each A/B case is a fresh
 # kernel specialization and the tunneled compile dominates wall time
-try:
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+from lidiff_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

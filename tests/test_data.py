@@ -147,6 +147,45 @@ def test_loader_batches(kitti_root):
     assert len(b["filename"]) == 2
 
 
+def test_loader_prefetch_bounded():
+    """Workers must never materialize more than prefetch + num_workers
+    batches ahead of the consumer (bounded host RAM at the 180k operating
+    point); regression test for the unbounded results-dict drain."""
+    import threading
+    import time as _time
+
+    built = []
+    built_lock = threading.Lock()
+
+    class SlowConsumeDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with built_lock:
+                built.append(i)
+            return {"pcd_full": np.zeros((8, 3), np.float32),
+                    "pcd_part": np.zeros((2, 3), np.float32),
+                    "mean": np.zeros(3, np.float32),
+                    "std": np.ones(3, np.float32),
+                    "filename": str(i)}
+
+    prefetch, workers, batch = 2, 3, 1
+    loader = DataLoader(SlowConsumeDataset(), batch_size=batch,
+                        num_workers=workers, prefetch=prefetch)
+    consumed = 0
+    max_ahead = 0
+    for _ in loader:
+        consumed += 1
+        _time.sleep(0.02)     # slow consumer: workers would race ahead
+        with built_lock:
+            ahead = len(built) - consumed
+        max_ahead = max(max_ahead, ahead)
+    assert consumed == 64
+    # each batch is `batch` items; allow the one being handed over
+    assert max_ahead <= (prefetch + workers + 1) * batch, max_ahead
+
+
 def test_ply_roundtrip(tmp_path):
     rng = np.random.default_rng(9)
     pts = rng.normal(size=(123, 3)).astype(np.float32)
