@@ -108,7 +108,8 @@ def _residual(sd, b, path, prefix, tap, has_short):
 
 
 def _stem(sd, b, path, prefix, tap):
-    _conv_bn_relu(sd, b, path + ["ConvBNReLU_0"], f"{prefix}.0", 3, tap)
+    # reference stem Sequential: conv,bn,relu,conv,bn,relu -> indices 0,1
+    _conv_bn_relu(sd, b, path + ["ConvBNReLU_0"], prefix, 3, tap)
     # reference stem Sequential: conv,bn,relu,conv,bn,relu -> indices 3,4
     b.put(path + ["ConvBNReLU_1", "SparseConv_0"],
           _conv(sd, f"{prefix}.3", 3, tap))
