@@ -18,13 +18,14 @@ from lidiff_tpu.ops.pallas_conv import conv_columns_pallas
 @pytest.fixture(scope="module")
 def pyramid():
     rng = np.random.default_rng(0)
-    pts = rng.normal(0, 4, (1, 4000, 3)).astype(np.float32)
-    caps = [3000, 2000, 1200, 800, 600]
+    pts = rng.normal(0, 4, (1, 1600, 3)).astype(np.float32)
+    caps = [1280, 896, 640, 512, 384]
     return jax.jit(lambda p: build_pyramid(p, 0.25, caps, 5))(
         jnp.asarray(pts))
 
 
-@pytest.mark.parametrize("lv", [0, 2, 4])
+@pytest.mark.parametrize("lv", [0, pytest.param(2, marks=pytest.mark.slow),
+                                pytest.param(4, marks=pytest.mark.slow)])
 def test_matches_xla_exactly(pyramid, lv):
     rng = np.random.default_rng(lv)
     L = pyramid.levels[lv]
@@ -43,6 +44,7 @@ def test_matches_xla_exactly(pyramid, lv):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grouped_matches_per_group(pyramid):
     """G=2 fused streams == two independent G=1 calls (classifier-free
     fusion, reference models.py:98-103)."""
@@ -107,6 +109,7 @@ def test_window_overflow_drops_taps_not_garbage(pyramid):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_big_c_split_matches_xla(pyramid):
     """C > 256 triggers the exact channel-split path (U0's 384-wide concat
     conv, reference minkunet.py:283-310)."""
@@ -127,6 +130,7 @@ def test_big_c_split_matches_xla(pyramid):
                                rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_kmap_path_matches(pyramid):
     """The pre-tiled layout from the Pallas kernel-map builder must give
     the same conv output as the raw col_idx/hit prolog path."""
@@ -150,7 +154,8 @@ def test_tiled_kmap_path_matches(pyramid):
                                rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("lv", [0, 2, 4])
+@pytest.mark.parametrize("lv", [0, pytest.param(2, marks=pytest.mark.slow),
+                                pytest.param(4, marks=pytest.mark.slow)])
 def test_v2_manual_dma_matches_xla(pyramid, lv):
     """The manual double-buffered DMA variant (conv_columns_pallas_v2) must
     match the XLA reference exactly — same selectors and GEMMs, only the
@@ -221,7 +226,7 @@ def test_v2_tiled_kmap_path_matches(pyramid):
                                rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("lv", [0, 3])
+@pytest.mark.parametrize("lv", [0, pytest.param(3, marks=pytest.mark.slow)])
 def test_custom_vjp_grads_match_xla(pyramid, lv):
     """The conv's custom_vjp (bwd-feats = tap-reversed transposed-weight
     conv over the same map; bwd-weights = slab^T@g kernel) must match
@@ -256,6 +261,7 @@ def test_custom_vjp_grads_match_xla(pyramid, lv):
                                rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_custom_vjp_grads_grouped_and_bigc(pyramid):
     """Grouped streams (G=2) and the C>128 split path must also
     differentiate correctly (weights shared across groups sum their
@@ -407,7 +413,9 @@ def test_quant_exact_on_integer_feats(pyramid):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
-@pytest.mark.parametrize("C,Co,G", [(32, 24, 1), (48, 16, 2)])
+@pytest.mark.parametrize("C,Co,G", [(32, 24, 1),
+                                    pytest.param(48, 16, 2,
+                                                 marks=pytest.mark.slow)])
 def test_quant_matches_fake_quant_oracle(pyramid, C, Co, G):
     """The int8 kernel == the XLA f32 conv run on quantize-dequantized
     feats (the kernel's only approximation IS that quantization; the
@@ -482,6 +490,7 @@ def test_xla_fake_quant_mirror_matches_kernel(pyramid):
                                rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_custom_vjp_grads_with_builder_layouts(pyramid):
     """Grads through the AD conv fed the kernel-map builder's pre-tiled
     layouts (blk/col_r/hit_r/pre/nvalid — the production training path,

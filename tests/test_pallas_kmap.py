@@ -17,13 +17,15 @@ from lidiff_tpu.ops.pallas_kmap import build_kmap3_columns_pallas
 @pytest.fixture(scope="module")
 def pyramid():
     rng = np.random.default_rng(0)
-    pts = rng.normal(0, 4, (2, 3000, 3)).astype(np.float32)
-    caps = [4000, 3000, 2000, 1000, 600]
+    pts = rng.normal(0, 4, (2, 1200, 3)).astype(np.float32)
+    caps = [1664, 1280, 896, 512, 384]
     return jax.jit(lambda p: build_pyramid(p, 0.2, caps, 5))(
         jnp.asarray(pts))
 
 
-@pytest.mark.parametrize("lv", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("lv", [0, pytest.param(1, marks=pytest.mark.slow),
+                                pytest.param(2, marks=pytest.mark.slow),
+                                pytest.param(3, marks=pytest.mark.slow), 4])
 def test_matches_search_builder(pyramid, lv):
     g = pyramid.levels[lv].geom
     ref = build_kmap3_columns(g)
