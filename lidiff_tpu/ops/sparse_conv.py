@@ -345,15 +345,23 @@ def sparse_conv_down(feats: jnp.ndarray, parent_idx: jnp.ndarray,
     oh = (tap[:, None] == jnp.arange(Kt, dtype=tap.dtype)[None, :])
     oh = (oh & ok[:, None]).astype(jnp.float32)          # [V_f, Kt]
     pidx = jnp.minimum(parent_idx, Vc)
-    outs = []
-    for gi in range(G):
-        y = jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
-                    preferred_element_type=jnp.float32,
-                    precision=PRECISION)                 # [V_f, K*Cout]
-        ysel = (y.reshape(Vf, Kt, Cout) * oh[:, :, None]).sum(axis=1)
-        o = jnp.zeros((Vc + 1, Cout), jnp.float32).at[pidx].add(ysel)[:Vc]
-        outs.append(o)
-    out = (outs[0] if G == 1 else jnp.concatenate(outs, axis=1))
+    # one GEMM over all G streams (classifier-free groups share weights:
+    # [V_f, G, Cin] @ w_all batches as rows), then ONE scatter-add of the
+    # concatenated [V_f, G*Cout] — TPU scatter is row-rate-bound
+    # (~80 Mrows/s regardless of width), so G separate scatters cost G x
+    # the rows for the same payload
+    y = jnp.dot(cf.reshape(Vf * G, Cin), w_all,
+                preferred_element_type=jnp.float32,
+                precision=PRECISION)                     # [V_f*G, K*Cout]
+    y = y.reshape(Vf, G, Kt, Cout)
+    ysel = (y * oh[:, None, :, None]).sum(axis=2)        # [V_f, G, Cout]
+    # scatter-add in the compute dtype: the TPU scatter is byte-bound at
+    # ~10 GB/s (measured 2.25 ms per [180k, 32] f32 level), so bf16
+    # payloads halve it; a parent sums at most 8 children, so the bf16
+    # partial sums stay within the conv chain's own rounding regime
+    ysel = ysel.reshape(Vf, G * Cout).astype(cf.dtype)
+    out = jnp.zeros((Vc + 1, G * Cout),
+                    cf.dtype).at[pidx].add(ysel)[:Vc].astype(jnp.float32)
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), G)
     if relu:
@@ -379,6 +387,7 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     G = groups
     assert coarse_feats.shape[-1] == G * Cin
     Vc = coarse_feats.shape[0]
+    Vf = parent_idx.shape[0]
     out_dtype = coarse_feats.dtype
     cf = coarse_feats.astype(COMPUTE_DTYPE)
     cw = weights.astype(COMPUTE_DTYPE)
@@ -390,15 +399,21 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     # instead of K per-tap masked GEMMs over the FULL fine set (K-fold
     # wasted MXU work plus K masked [V_f, Cin] copies of HBM traffic).
     w_all = jnp.transpose(cw, (1, 0, 2)).reshape(Cin, Kt * Cout)
+    # per-group GEMMs, then lane-concat the [Vc*K, Cout] views and make ONE
+    # narrow (parent, tap) row gather for all G streams: the TPU gather is
+    # row-rate-bound (~40-80 Mrows/s regardless of row width), so G
+    # separate gathers cost G x the rows for the same payload. Measured at
+    # the L0 up-conv point (V_f=180096, Cout=96, G=2): 1.2 ms vs 3.9 ms
+    # for per-group gathers and 5.9 ms for a wide whole-parent-row gather
+    # + one-hot tap pick (Kt x wasted bytes).
     rows = jnp.minimum(parent_idx, Vc - 1) * Kt + tap
-    outs = []
-    for gi in range(G):
-        y = jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
-                    preferred_element_type=out_dtype,
-                    precision=PRECISION)                  # [Vc, K*Cout]
-        o = y.reshape(Vc * Kt, Cout)[rows]
-        outs.append(jnp.where(ok[:, None], o, 0))
-    out = outs[0] if G == 1 else jnp.concatenate(outs, axis=1)
+    ys = [jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
+                  preferred_element_type=out_dtype,
+                  precision=PRECISION).reshape(Vc * Kt, Cout)
+          for gi in range(G)]
+    Y = ys[0] if G == 1 else jnp.concatenate(ys, axis=1)  # [Vc*K, G*Cout]
+    o = Y[rows]                                           # [V_f, G*Cout]
+    out = jnp.where(ok[:, None], o, 0)
     return jnp.where(fine_mask[:, None], out, 0)
 
 
