@@ -399,20 +399,29 @@ def sparse_conv_transpose(coarse_feats: jnp.ndarray, parent_idx: jnp.ndarray,
     # instead of K per-tap masked GEMMs over the FULL fine set (K-fold
     # wasted MXU work plus K masked [V_f, Cin] copies of HBM traffic).
     w_all = jnp.transpose(cw, (1, 0, 2)).reshape(Cin, Kt * Cout)
-    # per-group GEMMs, then lane-concat the [Vc*K, Cout] views and make ONE
-    # narrow (parent, tap) row gather for all G streams: the TPU gather is
-    # row-rate-bound (~40-80 Mrows/s regardless of row width), so G
-    # separate gathers cost G x the rows for the same payload. Measured at
-    # the L0 up-conv point (V_f=180096, Cout=96, G=2): 1.2 ms vs 3.9 ms
-    # for per-group gathers and 5.9 ms for a wide whole-parent-row gather
-    # + one-hot tap pick (Kt x wasted bytes).
     rows = jnp.minimum(parent_idx, Vc - 1) * Kt + tap
-    ys = [jnp.dot(cf[:, gi * Cin:(gi + 1) * Cin], w_all,
-                  preferred_element_type=out_dtype,
-                  precision=PRECISION).reshape(Vc * Kt, Cout)
-          for gi in range(G)]
-    Y = ys[0] if G == 1 else jnp.concatenate(ys, axis=1)  # [Vc*K, G*Cout]
-    o = Y[rows]                                           # [V_f, G*Cout]
+    if G == 1:
+        y = jnp.dot(cf, w_all, preferred_element_type=out_dtype,
+                    precision=PRECISION)                  # [Vc, K*Cout]
+        o = y.reshape(Vc * Kt, Cout)[rows]
+    else:
+        # G > 1 (grouped classifier-free streams): ONE block-diagonal GEMM
+        # producing columns in (k, g, c) order, so the (parent, tap) pick
+        # is a single narrow row gather over [Vc*K, G*Cout] — the TPU
+        # gather is row-rate-bound (~40-80 Mrows/s regardless of width),
+        # so G separate gathers cost G x the rows. The 2x MAC waste of
+        # the zero blocks is far cheaper than the lane-concat/relayout
+        # alternatives (measured at the L0 up-conv point, V_f=180096,
+        # Cout=96, G=2: 3.5 ms vs 4.8 per-group gathers / 5.4
+        # concat+gather / 4.4 two-level gather).
+        wr = w_all.reshape(Cin, Kt, Cout)
+        wbd = jnp.zeros((G, Cin, Kt, G, Cout), cw.dtype)
+        for gi in range(G):
+            wbd = wbd.at[gi, :, :, gi, :].set(wr)
+        y = jnp.dot(cf, wbd.reshape(G * Cin, Kt * G * Cout),
+                    preferred_element_type=out_dtype,
+                    precision=PRECISION)                  # [Vc, K*G*Cout]
+        o = y.reshape(Vc * Kt, G * Cout)[rows]
     out = jnp.where(ok[:, None], o, 0)
     return jnp.where(fine_mask[:, None], out, 0)
 
