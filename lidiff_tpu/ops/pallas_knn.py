@@ -137,11 +137,19 @@ def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
     a_hi, a_lo, _ = K.pack(qi[:, 0], qi[:, 1:4])
     pos, _ = K.searchsorted_pair(r_hi, r_lo, a_hi, a_lo)   # [nq]
     a0 = jnp.clip(pos - U // 4, 0, max(Vr - U, 0))
-    widx = a0[:, None] + jnp.arange(U)[None, :]       # [nq, U]
-
-    uw = rc[widx]                                     # [nq, U, 4] int32
-    uw_xyz = uw[:, :, 1:].astype(jnp.float32)
-    ursq = rsq_shift[widx].astype(jnp.float32)        # rsq (+PEN invalid)
+    # Block-aligned window: the TPU gather is ROW-rate-bound, so picking
+    # nq*U individual rows costs ~128x more than picking nq*(U/128)
+    # 128-row blocks of a [nb, 128, 5] table (coords + rsq stacked so one
+    # gather serves both). Flooring the anchor to a block edge only SHIFTS
+    # the window (never shrinks it below U rows / past Vr); any in-range
+    # window yields a valid upper bound, so the prune mask stays exact.
+    nb = Vr // 128                                    # Vr-U clip => in range
+    tbl = jnp.concatenate([rc, rsq_shift[:, None]], 1)[:nb * 128]
+    tbl = tbl.reshape(nb, 128, 5)
+    blk = a0[:, None] // 128 + jnp.arange(U // 128)[None, :]  # [nq, U/128]
+    uw = tbl[blk].reshape(nq, U, 5)                   # [nq, U, 5] int32
+    uw_xyz = uw[:, :, 1:4].astype(jnp.float32)
+    ursq = uw[:, :, 4].astype(jnp.float32)            # rsq (+PEN invalid)
     qt = q3[:, :, 0:4]                                # [nq, T, 4]
     cross = jnp.einsum("ntc,nuc->ntu", qt[:, :, 1:], uw_xyz,
                        preferred_element_type=jnp.float32)

@@ -113,7 +113,10 @@ def aggregate(trace: dict):
             str(args.get("tf_op", "")) + "|" + str(args.get("source", ""))
         b = classify(name, long_name)
         buckets[b] = buckets.get(b, 0.0) + dur
-        key = re.sub(r"[.\d]+$", "", name)  # fold %fusion.123 -> %fusion
+        # fold %fusion.123 -> %fusion, but keep buckets apart: generic
+        # names (fusion/copy/...) span buckets and would otherwise show
+        # one cross-bucket total under an arbitrary bucket label
+        key = re.sub(r"[.\d]+$", "", name) + "@" + b
         rec = per_name.setdefault(
             key, {"us": 0.0, "count": 0, "bucket": b,
                   "example": name, "long": long_name[:160]})
@@ -153,7 +156,7 @@ def print_report(buckets, per_name, busy_us, span_us, n_steps, top=25):
     rows = sorted(per_name.items(), key=lambda kv: -kv[1]["us"])[:top]
     for key, rec in rows:
         print(f"{rec['us']/scale:8.2f} ms/step x{rec['count']:5d} "
-              f"[{rec['bucket'][:14]:14s}] {key}")
+              f"[{rec['bucket'][:14]:14s}] {key.rsplit('@', 1)[0]}")
         if rec["long"].strip("|"):
             print(f"          {rec['long'][:120]}")
 
