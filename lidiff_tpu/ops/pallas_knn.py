@@ -37,7 +37,11 @@ to its floor and then prunes whole blocks:
     query's argmin (d >= gap > u >= d_best, strictly), so the kernel skips
     its GEMM + reduction entirely via a prefetched ok-mask.  Cross-batch
     blocks prune automatically (key gap >= COORD_SPAN).  The result is
-    bit-identical to the unpruned kernel.
+    bit-identical to the unpruned kernel.  The mask is BIT-PACKED (one
+    int32 word per 32 ref blocks) because scalar-prefetch operands live in
+    SMEM (~1 MB): unpacked, the chamfer grid path's operating point
+    (1.08M queries x 360k refs -> [2110, 176] int32) blows that budget;
+    packed it is ~50 KB at any realistic size.
 
 Batch/validity semantics and the selected indices match the XLA path
 exactly (strictly-less updates across blocks keep the earliest block on
@@ -59,8 +63,12 @@ from lidiff_tpu.ops import keys as K
 QTILE = 512
 RBLK = 2048
 UWND = 512                  # upper-bound window rows (prune prolog)
-_COORD_LIM = 1280           # |coord| bound for f32-exact -2 q.r (< 2^24)
-_OFFS = 2 * 3 * _COORD_LIM * _COORD_LIM   # >= max |2 q.r|: keeps e >= 0
+COORD_LIM = 1280            # |coord| bound for f32-exact -2 q.r (< 2^24);
+                            # BEYOND it packed e goes negative and the
+                            # in-block index reconstruction breaks —
+                            # callers quantizing floats (ops/chamfer
+                            # grid path) must clamp to +-(COORD_LIM-1)
+_OFFS = 2 * 3 * COORD_LIM * COORD_LIM    # >= max |2 q.r|: keeps e >= 0
 _PEN = 1 << 25              # invalid-ref shift (> any valid shifted d)
 _BIG = 1e18                 # XLA-path penalty (prolog math only)
 
@@ -109,7 +117,12 @@ def _make_kernel(T: int, R: int, nr: int, batched: bool, prune: bool):
             ibest[:] = jnp.where(better, ib + j * R, ibest[:])
 
         if prune:
-            pl.when(ok_ref[i, j] != 0)(compute)
+            # ok is bit-packed and flattened: word i*nw + j // 32, bit
+            # j % 32 (arithmetic >> of a possibly-negative word then & 1
+            # still reads the bit)
+            nw = -(-nr // 32)
+            bit = (ok_ref[i * nw + j // 32] >> (j % 32)) & 1
+            pl.when(bit != 0)(compute)
         else:
             compute()
 
@@ -178,7 +191,17 @@ def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
     gap = jnp.maximum(bh0[None, :] - th1[:, None],
                       th0[:, None] - bh1[None, :])    # [nq, nr]
     gap = jnp.maximum(gap, 0).astype(jnp.float32)
-    return (gap * gap <= u2m[:, None]).astype(jnp.int32)
+    ok = (gap * gap <= u2m[:, None]).astype(jnp.int32)
+    # bit-pack along the block axis, FLATTENED to 1-D: SMEM scalar-prefetch
+    # budget (~1 MB) cannot hold [nq, nr] int32 at chamfer-scale query
+    # counts, and SMEM pads a 2-D array's minor dim to 128 words — a 1-D
+    # [nq * nw] layout pads only the total length
+    nw = -(-nr // 32)
+    ok = jnp.pad(ok, ((0, 0), (0, nw * 32 - nr))).reshape(nq, nw, 32)
+    weights = jnp.left_shift(jnp.int32(1),
+                             jnp.arange(32, dtype=jnp.int32))
+    return jnp.sum(ok * weights[None, None, :], axis=2,
+                   dtype=jnp.int32).reshape(nq * nw)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "n_batch"))

@@ -63,3 +63,58 @@ def test_chamfer_masked():
                                        jnp.asarray(mx)))
     ref = _np_chamfer(x[0, :32], y[0])
     np.testing.assert_allclose(cd_masked, ref, rtol=1e-4)
+
+
+def test_grid_exact_indices_on_separated_clouds():
+    """With target spacing >> 2*sqrt(3)*res the quantized argmin cannot
+    flip: grid indices == exact indices."""
+    from lidiff_tpu.ops.chamfer import nn_indices_grid
+    rng = np.random.default_rng(5)
+    # targets on a coarse lattice (0.5 m), queries jittered off them
+    t = (rng.integers(-40, 40, size=(200, 3)) * 0.5).astype(np.float32)
+    t = np.unique(t, axis=0)
+    q = (t[rng.integers(0, len(t), 300)] +
+         rng.normal(scale=0.05, size=(300, 3))).astype(np.float32)
+    idx = np.asarray(nn_indices_grid(jnp.asarray(q), jnp.asarray(t)))
+    d = ((q[:, None] - t[None]) ** 2).sum(-1)
+    ref = d.argmin(1)
+    np.testing.assert_array_equal(idx, ref)
+
+
+def test_grid_matches_exact_loss():
+    """Realistic-scale dense clouds: grid chamfer within 1e-3 relative of
+    the exact loss, and its gradient still points downhill."""
+    rng = np.random.default_rng(6)
+    B = 2
+    az = rng.uniform(0, 2 * np.pi, (B, 2000))
+    r = rng.uniform(3, 45, (B, 2000))
+    x = np.stack([r * np.cos(az), r * np.sin(az),
+                  rng.uniform(-2, 2, (B, 2000))], -1).astype(np.float32)
+    y = (x[:, rng.permutation(2000)[:1500]] +
+         rng.normal(scale=0.3, size=(B, 1500, 3))).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    exact = float(chamfer_distance(xj, yj, method="exact"))
+    grid = float(chamfer_distance(xj, yj, method="grid"))
+    assert abs(grid - exact) <= max(1e-3 * exact, 1e-6), (grid, exact)
+    g = jax.grad(lambda a: chamfer_distance(a, yj, method="grid"))(xj)
+    assert np.isfinite(np.asarray(g)).all()
+    l0 = grid
+    l1 = float(chamfer_distance(xj - 0.02 * g, yj, method="grid"))
+    assert l1 < l0
+
+
+def test_grid_masked_and_batched():
+    """Masks drop points from both sides; batches never cross-match.
+    Clouds live on a coarse lattice so the default 4 cm grid cannot
+    flip any argmin and the result is EXACTLY the masked exact loss."""
+    rng = np.random.default_rng(7)
+    y = (rng.integers(-30, 30, size=(2, 48, 3)) * 0.5).astype(np.float32)
+    x = (y[:, rng.integers(0, 48, 64)] +
+         rng.normal(scale=0.04, size=(2, 64, 3))).astype(np.float32)
+    mx = np.zeros((2, 64), bool); mx[:, :40] = True
+    my = np.zeros((2, 48), bool); my[:, :30] = True
+    got = float(chamfer_distance(jnp.asarray(x), jnp.asarray(y),
+                                 jnp.asarray(mx), jnp.asarray(my),
+                                 method="grid"))
+    ref = np.mean([_np_chamfer(x[b, :40], y[b, :30]) for b in range(2)])
+    np.testing.assert_allclose(got, ref, rtol=1e-4)

@@ -122,6 +122,20 @@ def test_pruned_sorted_multibatch_exact():
     np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
 
 
+def test_exact_at_coord_lim_bound():
+    """Coordinates at +-(COORD_LIM-1) — the widest range the f32-exact
+    packed argmin supports, and the bound ops/chamfer's grid path clamps
+    to.  Regression: at |c| ~ 2000 (a 2.5 cm chamfer grid over 50 m) the
+    packed e goes negative and the kernel returned corrupt indices."""
+    from lidiff_tpu.ops.pallas_knn import COORD_LIM
+    rng = np.random.default_rng(8)
+    qc, qm, rc, rm = _mk_sorted(rng, 3000, 9000, lim=COORD_LIM - 1)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
 def test_pruned_clustered_far_queries():
     """Queries far from every ref (big upper bounds -> little pruning) and
     refs clustered in distant slabs (big gaps -> heavy pruning), together:
