@@ -15,14 +15,23 @@ Two index passes are available:
   at the refine training operating point (360k x 360k) this is seconds
   per direction on a v5e because the K=3 GEMM wastes 125/128 of every
   MXU pass and every tile pair is visited.
-* "grid": quantize both clouds to a fine integer grid (default 4 cm)
-  and reuse the production block-pruned 1-NN voxel matcher
+* "grid": quantize both clouds to a fine integer grid and reuse the
+  production block-pruned 1-NN voxel matcher
   (ops/knn.nn_match_idx -> Pallas on TPU). The *index* is the argmin of
   voxel-center distances, so a pick can differ from the true NN only
   among targets within 2*sqrt(3)*res of it; the loss then gathers TRUE
   float coordinates, bounding the loss error by O(res * d). Measured on
   real-scale scan clouds the loss delta is <1e-3 relative (see
   tests/test_chamfer.py::test_grid_matches_exact_loss).
+
+  The grid resolution is ADAPTIVE by default: the joint bounding box of
+  both (masked) clouds is scaled to fill the matcher's exact-arithmetic
+  coordinate range, so the relative error bound is scale-free —
+  res_eff = extent / 1279 (≈ 3.9 cm for 50 m crops, ≈ 0.8 mm for
+  unit-normalized clouds). This matters because dataset_norm /
+  std_axis_norm configs feed unit-scale coordinates to the refine loss;
+  an absolute metric grid would silently degrade their NN picks.
+  LIDIFF_CHAMFER_RES overrides with an absolute resolution.
 
 `method="auto"` (default) uses "grid" when N*M is large enough for the
 quantized pick to pay for its sorts, "exact" otherwise — training flips
@@ -40,12 +49,14 @@ import jax.numpy as jnp
 
 _BIG = jnp.float32(1e30)
 
-#: default quantization for the grid index pass: the binding range is NOT
-#: the 12-bit packed-coordinate span (+-2047) but the Pallas matcher's
-#: f32-exactness bound |c| <= pallas_knn.COORD_LIM = 1280 (beyond it the
-#: kernel's packed argmin silently corrupts indices) — 4 cm puts 50 m
-#: crops at +-1250
-GRID_RES = float(os.environ.get("LIDIFF_CHAMFER_RES", 0.04))
+#: quantization for the grid index pass. None (default) = adaptive: scale
+#: the joint cloud extent to fill the usable integer range. The binding
+#: range is NOT the 12-bit packed-coordinate span (+-2047) but the Pallas
+#: matcher's f32-exactness bound |c| <= pallas_knn.COORD_LIM = 1280
+#: (beyond it the kernel's packed argmin silently corrupts indices).
+#: LIDIFF_CHAMFER_RES sets an absolute resolution instead.
+_env_res = os.environ.get("LIDIFF_CHAMFER_RES")
+GRID_RES: float | None = float(_env_res) if _env_res else None
 #: auto threshold: N*M distance pairs above which the grid path wins
 _AUTO_GRID_PAIRS = 1 << 26
 
@@ -94,10 +105,34 @@ def nn_indices(query: jnp.ndarray, target: jnp.ndarray,
     return jax.lax.stop_gradient(idx.reshape(-1)[:N])
 
 
+def _grid_lim() -> int:
+    """Usable integer coordinate range of the matcher: the tighter of the
+    12-bit pack span and the Pallas kernel's f32-exactness bound (beyond
+    pallas_knn.COORD_LIM the packed argmin is silently wrong, not just
+    approximate)."""
+    from lidiff_tpu.ops import keys as K
+    from lidiff_tpu.ops.pallas_knn import COORD_LIM
+    return min(COORD_LIM - 1, int(K.COORD_MAX))
+
+
+def _adaptive_res(clouds_and_masks) -> jnp.ndarray:
+    """Grid step that scales the joint (masked) cloud extent to fill the
+    usable integer range — the quantization error is then relative to
+    extent, not absolute, so unit-normalized coordinates (dataset_norm /
+    std_axis_norm) quantize as finely as metric ones."""
+    m = jnp.float32(0)
+    for pts, mask in clouds_and_masks:
+        a = jnp.max(jnp.abs(pts), axis=-1)
+        if mask is not None:
+            a = jnp.where(mask, a, 0.0)
+        m = jnp.maximum(m, jnp.max(a))
+    return jnp.maximum(m, 1e-9) / _grid_lim()
+
+
 def nn_indices_grid(query: jnp.ndarray, target: jnp.ndarray,
                     target_mask: jnp.ndarray | None = None,
                     query_mask: jnp.ndarray | None = None,
-                    res: float = GRID_RES,
+                    res: float | jnp.ndarray | None = GRID_RES,
                     n_batch: int = 1) -> jnp.ndarray:
     """Batched near-NN indices via the block-pruned voxel matcher.
 
@@ -107,6 +142,9 @@ def nn_indices_grid(query: jnp.ndarray, target: jnp.ndarray,
     int32 GLOBAL indices into the flattened target array (same-batch by
     construction when the batch has any valid target).
 
+    `res`: grid step — a static float, a traced scalar, or None for
+    adaptive (extent-scaled, see _adaptive_res; both clouds share it).
+
     Coordinates outside the packable range are CLAMPED to it: the pick
     for such a point degrades gracefully (a near-boundary candidate)
     instead of being dropped; the caller gathers true coordinates so the
@@ -114,16 +152,14 @@ def nn_indices_grid(query: jnp.ndarray, target: jnp.ndarray,
     """
     from lidiff_tpu.ops import keys as K
     from lidiff_tpu.ops.knn import nn_match_idx
-    from lidiff_tpu.ops.pallas_knn import COORD_LIM
 
     Nq = query.shape[0]
     Mt = target.shape[0]
     qb = (jnp.arange(Nq, dtype=jnp.int32) * n_batch) // Nq
     tb = (jnp.arange(Mt, dtype=jnp.int32) * n_batch) // Mt
-    # clamp to the Pallas matcher's f32-exactness bound (tighter than the
-    # 12-bit pack range): beyond COORD_LIM the kernel's packed argmin is
-    # silently wrong, not just approximate
-    lim = min(COORD_LIM - 1, int(K.COORD_MAX))
+    lim = _grid_lim()
+    if res is None:
+        res = _adaptive_res([(query, query_mask), (target, target_mask)])
     qi = jnp.clip(jnp.round(query / res).astype(jnp.int32), -lim, lim)
     ti = jnp.clip(jnp.round(target / res).astype(jnp.int32), -lim, lim)
     qm = (jnp.ones((Nq,), bool) if query_mask is None else query_mask)
@@ -154,12 +190,13 @@ def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray,
                      x_mask: jnp.ndarray | None = None,
                      y_mask: jnp.ndarray | None = None,
                      method: str | None = None,
-                     grid_res: float = GRID_RES) -> jnp.ndarray:
+                     grid_res: float | None = GRID_RES) -> jnp.ndarray:
     """Batched symmetric squared-L2 chamfer, pytorch3d semantics
     (mean over points each direction, sum of directions, mean over batch).
 
     x: [B, N, 3], y: [B, M, 3]. `method`: "exact" | "grid" | "auto"
     (None reads LIDIFF_CHAMFER, default "auto" — see module docstring).
+    `grid_res`: None = adaptive (extent-scaled; scale-free error bound).
     """
     if method is None:
         method = os.environ.get("LIDIFF_CHAMFER", "auto")
@@ -203,6 +240,11 @@ def _chamfer_grid(x, y, x_mask, y_mask, res):
     yf = y.reshape(B * M, 3)
     mx = None if x_mask is None else x_mask.reshape(B * N)
     my = None if y_mask is None else y_mask.reshape(B * M)
+    if res is None:
+        # one shared adaptive step for both directions: the two matcher
+        # calls must quantize identically or the symmetric loss would mix
+        # two different grids
+        res = _adaptive_res([(xf, mx), (yf, my)])
     ix = nn_indices_grid(xf, yf, my, mx, res, n_batch=B)
     iy = nn_indices_grid(yf, xf, mx, my, res, n_batch=B)
     d_xy = jnp.sum((xf - yf[ix]) ** 2, -1).reshape(B, N)

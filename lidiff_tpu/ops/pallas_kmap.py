@@ -137,27 +137,27 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
     # no in-kernel transposes
     keys_wnd = jnp.stack([hi, lo], axis=1).reshape(nt, T, 2)
 
-    # prolog: anchor lower bound for each (tile, column) via binary search
-    # over only the tile-first queries (nt*9 rows — negligible)
-    first_h = hi[::T]                                  # [nt]
-    first_l = lo[::T]
-    # anchor BLOCK ids without any binary search: only p // T is needed,
-    # and the tile-first keys are themselves a sorted [nt] array, so
-    # lower_bound(keys, q) // T == count(tile_first < q) - 1 + any(== q)
-    # for the level's unique keys. The dense [9, nt, nt] pair compare +
-    # reduce runs on the VPU in ~0.3 ms, replacing ~12 ms/step of
+    # prolog: anchor BLOCK ids without any binary search. Only
+    # lower_bound(keys, q) // T is needed, and it equals
+    # count(tile_LAST < q) EXACTLY: the tiles wholly below q are a prefix
+    # (keys sorted), each contributes T to the lower bound, and the next
+    # tile contributes < T — so the quotient is the prefix length, in
+    # every case including a q absent from the level whose insertion
+    # point lands exactly on a tile boundary (counting tile-FIRST keys is
+    # one block early there — ADVICE r4: the far-end window block was
+    # silently lost for such columns). The dense [9, nt, nt] pair compare
+    # + reduce runs on the VPU in ~0.3 ms, replacing ~12 ms/step of
     # row-rate-bound probe gathers (each searchsorted probe round gathers
     # at its mid positions; 5 levels x ~19 rounds of 9*nt-row gathers).
+    last_h = hi[T - 1::T]                              # [nt]
+    last_l = lo[T - 1::T]
     dxs = jnp.array([dx for dx, _ in _OFFS], jnp.int32)
     dys = jnp.array([dy for _, dy in _OFFS], jnp.int32)
-    qh = first_h[None, :] + dxs[:, None] * s           # [9, nt]
-    ql = first_l[None, :] + dys[:, None] * (s * K.COORD_SPAN) - s
-    less = K.pair_less(first_h[None, None, :], first_l[None, None, :],
+    qh = hi[::T][None, :] + dxs[:, None] * s           # [9, nt] tile-first
+    ql = lo[::T][None, :] + dys[:, None] * (s * K.COORD_SPAN) - s
+    less = K.pair_less(last_h[None, None, :], last_l[None, None, :],
                        qh[:, :, None], ql[:, :, None])   # [9, nt, nt]
-    eq = (first_h[None, None, :] == qh[:, :, None]) & \
-        (first_l[None, None, :] == ql[:, :, None])
-    p = (jnp.sum(less.astype(jnp.int32), axis=-1) - 1
-         + jnp.max(eq.astype(jnp.int32), axis=-1))     # [9, nt] block ids
+    p = jnp.sum(less.astype(jnp.int32), axis=-1)       # [9, nt] block ids
     blk = jnp.clip(jnp.transpose(p), 0, nt - nblk).astype(
         jnp.int32)                                     # [nt, 9]
 

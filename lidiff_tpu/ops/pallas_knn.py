@@ -156,6 +156,15 @@ def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
     # gather serves both). Flooring the anchor to a block edge only SHIFTS
     # the window (never shrinks it below U rows / past Vr); any in-range
     # window yields a valid upper bound, so the prune mask stays exact.
+    # Guard the block-table geometry locally (ADVICE r4): in-range
+    # indexing of tbl[blk] relies on Vr >= UWND — currently enforced by
+    # the non-local `prune = nr >= 3 and Vr >= UWND` gate in
+    # nn_match_idx_pallas; a future caller or UWND bump must not be able
+    # to create out-of-range block ids here. Note tbl truncates to
+    # nb*128 rows: the Vr%128 tail refs are excluded from every
+    # upper-bound window (exactness preserved — any in-range window is a
+    # valid upper bound — pruning merely slightly weaker).
+    assert Vr >= U, (Vr, U)
     nb = Vr // 128                                    # Vr-U clip => in range
     tbl = jnp.concatenate([rc, rsq_shift[:, None]], 1)[:nb * 128]
     tbl = tbl.reshape(nb, 128, 5)

@@ -317,8 +317,13 @@ def sparse_conv_down(feats: jnp.ndarray, parent_idx: jnp.ndarray,
     gather + a scatter-add into the parents.  The gather-map path costs 8
     wide row gathers per output (rate-bound on TPU: ~1.4M gathered rows
     per fine-level down conv); this path moves 2 x V_fine narrow rows.
-    Reduction order within a parent differs from the gather path (ulp-level
-    f32 differences only).  Fully XLA-differentiable (training path too).
+    Reduction order within a parent differs from the gather path: in f32
+    mode the difference is ulp-level; in bf16 mode (COMPUTE_DTYPE =
+    bfloat16) the GEMM output is cast f32->bf16 BEFORE the scatter-add and
+    a parent's <=8 children accumulate in bf16 (~8 mantissa bits below
+    f32) — the drift is bounded by the conv chain's own bf16 rounding and
+    is covered by tests/test_sparse_conv.py::test_down_conv_bf16_drift.
+    Fully XLA-differentiable (training path too).
 
     Args:
       feats: [V_f, G*Cin]; parent_idx: [V_f] int32 (== V_c when the fine

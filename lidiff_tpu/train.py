@@ -86,7 +86,7 @@ def main(config, weights, checkpoint, test, max_steps):
 
     if test:
         print("TESTING MODE")
-        run_test(task, cfg, state, data)
+        run_test(task, cfg, state, data, exp_dir)
         return
 
     print(f"TRAINING MODE ({n_dev} devices)")
@@ -167,23 +167,71 @@ def run_validation(task, cfg, state, data, trainer, step,
     print(f"val: CD {cdm:.4f}+-{cds:.4f} P {p:.3f} R {r:.3f} F {f:.3f}")
 
 
-def run_test(task, cfg, state, data):
-    """Sampling evaluation over the validation split (reference
-    models.py:278-335): CD + PR-AUC against the GT map crops."""
+def _test_output_paths(exp_dir: str, filenames) -> tuple[bool, list[str]]:
+    """Reference valid_paths (models.py:264-276): one .ply per scan under
+    <exp_dir>/generated_pcd/<seq>/, skipping a batch whose outputs all
+    exist already."""
+    out_paths, skip = [], []
+    for fname in filenames:
+        parts = fname.replace("\\", "/").split("/")
+        seq = parts[-3] if len(parts) >= 3 else "seq"
+        seq_dir = os.path.join(exp_dir, "generated_pcd", seq)
+        os.makedirs(seq_dir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(fname))[0]
+        p = os.path.join(seq_dir, f"{base}.ply")
+        skip.append(os.path.isfile(p))
+        out_paths.append(p)
+    return bool(np.all(skip)), out_paths
+
+
+def postprocess_test_pred(pred: np.ndarray, x_init: np.ndarray,
+                          max_range: float) -> np.ndarray:
+    """Reference test_step postprocess (models.py:303-310): range crop to
+    max_range, then z-stat crop to (mean_z - 2*std_z, max_z) of the
+    sampler's INIT cloud (the tiled partial) — removes the floating noise
+    the diffusion leaves outside the scene's vertical support."""
+    dist = np.sqrt(np.sum(pred ** 2, axis=-1))
+    pred = pred[dist < max_range]
+    zi = x_init[..., 2]
+    max_z = float(zi.max())
+    min_z = float(zi.mean() - 2.0 * zi.std())
+    return pred[(pred[:, 2] < max_z) & (pred[:, 2] > min_z)]
+
+
+def run_test(task, cfg, state, data, exp_dir: str = "experiments/test"):
+    """Sampling evaluation over the validation split with the reference
+    test protocol (models.py:278-335): per-scan postprocess (range +
+    z-stat crop of the prediction), .ply dump of the cropped cloud under
+    <exp_dir>/generated_pcd/<seq>/<scan>.ply (skipping scans already
+    generated), then cumulative CD + PR-AUC vs the GT map crop."""
+    from lidiff_tpu.utils.ply import write_ply
     cd = ChamferDistance()
     pr = PrecisionRecall(float(cfg["data"]["resolution"]),
                          2 * float(cfg["data"]["resolution"]), 100)
+    max_range = float(cfg["data"]["max_range"])
     variables = {"params": state["params"],
                  "batch_stats": state["batch_stats"]}
     key = jax.random.PRNGKey(0)
     for i, batch in enumerate(data.val_dataloader()):
+        fnames = batch.get("filename",
+                           [f"unknown/seq/{i}_{b}.bin"
+                            for b in range(len(batch["pcd_part"]))])
+        skip, out_paths = _test_output_paths(exp_dir, fnames)
+        if skip:
+            print(f"Skipping generation from {out_paths[0]} "
+                  f"to {out_paths[-1]}")
+            continue
         part = jnp.asarray(batch["pcd_part"])
         x_init = jnp.tile(part, (1, 10, 1))
         key, k = jax.random.split(key)
         out = np.asarray(task.sample_chunked(variables, x_init, k, part))
+        x_init_np = np.asarray(x_init)
         for b in range(out.shape[0]):
-            cd.update(np.asarray(batch["pcd_full"][b]), out[b])
-            pr.update(np.asarray(batch["pcd_full"][b]), out[b])
+            pred = postprocess_test_pred(out[b], x_init_np[b], max_range)
+            print(f"Saving {out_paths[b]}")
+            write_ply(out_paths[b], pred)
+            cd.update(np.asarray(batch["pcd_full"][b]), pred)
+            pr.update(np.asarray(batch["pcd_full"][b]), pred)
         cdm, cds = cd.compute()
         p, r, f = pr.compute_auc()
         print(f"[{i}] CD {cdm:.4f}+-{cds:.4f} P {p:.3f} R {r:.3f} F {f:.3f}")

@@ -76,6 +76,14 @@ def main(config, weights, checkpoint, test, max_steps):
     latest = {"state": state}
     trainer.install_signal_checkpointing(lambda: latest["state"])
     step = trainer.global_step
+    # sanity validation step before training (reference
+    # train_refine.py:56-82: num_sanity_val_steps=1) — catches a broken
+    # val path before hours of training, exactly Lightning's rationale
+    try:
+        run_validation(task, cfg, state, data, trainer, step,
+                       max_batches=1, tag="sanity")
+    except Exception as e:
+        print(f"sanity validation failed: {e}")
     # epoch-aware resume (see train.py): mid-epoch signal checkpoints
     # record epoch=-1 and fall back to step arithmetic
     if checkpoint and trainer.last_epoch >= 0:
@@ -100,9 +108,44 @@ def main(config, weights, checkpoint, test, max_steps):
             if max_steps and step >= max_steps:
                 break
         trainer.save(epoch, state)
+        # val every 5 epochs on a few batches (reference
+        # train_refine.py:56-82: check_val_every_n_epoch=5,
+        # limit_val_batches=0.05)
+        if (epoch + 1) % 5 == 0:
+            try:
+                run_validation(task, cfg, state, data, trainer, step)
+            except Exception as e:
+                print(f"validation failed: {e}")
         if max_steps and step >= max_steps:
             break
     trainer.logger.flush()
+
+
+def run_validation(task, cfg, state, data, trainer, step,
+                   max_batches: int | None = None, tag: str = "val"):
+    """Refine validation (reference models_refine.py:78-103): forward the
+    noisy val cloud, upsample with the predicted offsets, chamfer against
+    GT; logged as val/cd_loss."""
+    from lidiff_tpu.ops.chamfer import chamfer_distance
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    loader = data.val_dataloader()
+    if max_batches is None:
+        # limit_val_batches=0.05 of the split (>=1)
+        max_batches = max(1, int(0.05 * len(loader)))
+    fwd = jax.jit(lambda v, pts: task.forward(v, pts))
+    losses = []
+    for i, batch in enumerate(loader):
+        if i >= max_batches:
+            break
+        noisy = jnp.asarray(batch["pcd_noise"])
+        up = task.upsample(noisy, fwd(variables, noisy))
+        losses.append(float(chamfer_distance(
+            up, jnp.asarray(batch["pcd_full"]))))
+    if losses:
+        cd = float(np.mean(losses))
+        trainer.logger.log(step, {"val/cd_loss": cd})
+        print(f"{tag}: cd_loss {cd:.5f} over {len(losses)} batches")
 
 
 def run_test(task, cfg, state, data):

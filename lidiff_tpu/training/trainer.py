@@ -100,10 +100,15 @@ class MetricLogger:
         self.log_dir = log_dir
 
     def log(self, step: int, metrics: dict):
-        for k, v in metrics.items():
-            v = float(v)
-            if self.writer is not None:
-                self.writer.add_scalar(k, v, step)
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(k, float(v), step)
+        else:
+            # the promised stdout fallback (metrics must never be
+            # silently dropped when tensorboardX is absent)
+            line = " ".join(f"{k}={float(v):.6g}"
+                            for k, v in metrics.items())
+            print(f"[metrics step {step}] {line}", flush=True)
 
     def flush(self):
         if self.writer is not None:

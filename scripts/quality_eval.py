@@ -1,7 +1,9 @@
 """Completion-quality artifact: CD / IoU@{0.5,0.2,0.1} / RMSE / JSD-3D /
-JSD-BEV / PR-AUC for f32 vs bf16 vs int8 inference at the SAME seeds, from
-one trained checkpoint — the end-metric pin for the bench's bf16 default
-and the int8 deployment option (VERDICT r3 Missing #2).
+JSD-BEV / PR-AUC for f32 vs bf16 vs int8 inference, multi-seed, with a
+trained REFINEMENT stage — the end-metric pin for the bench's bf16 default,
+the int8 deployment option, and (round 5) the proof that training the
+framework produces a model that out-completes copying the input
+(VERDICT r4 Missing #1).
 
 Methodology (a faithful miniature of the reference task; full-dataset
 Table-3 parity is impossible here — SemanticKITTI and the published
@@ -12,18 +14,35 @@ checkpoints are not in this environment):
     to QE_NF points;
   * partial input = FPS to QE_NF/10 of the GT (exactly the reference's
     preprocess_scan semantics, diff_completion_pipeline.py:92-105);
-  * a diffusion model is trained to completion on this scene (the overfit
-    protocol of tests/test_learning.py at 64x the scale), then the
-    50-step DPM-Solver++(2M,SDE) sampler runs once per precision with
-    identical PRNG keys;
-  * metrics are the reference eval set (utils/eval_path.py:126-144):
-    Chamfer distance, voxel-IoU at {0.5, 0.2, 0.1} m, RMSE, JSD of 3D and
-    BEV occupancy histograms, precision/recall/F1 AUC.
-  * context rows: the untrained model (floor) and the tiled partial input
-    (what zero diffusion steps would give).
+  * the diffusion model is trained to completion on this scene with the
+    reference's classifier-free dropout applied MANUALLY (uncond_prob=0.1
+    whole-batch zeroing — the reference's own `or shape[0]==1` guard,
+    models.py:195-200, would disable it at batch 1 and leave the
+    unconditioned branch untrained while sampling still mixes it with
+    w=6; round 4's checkpoint failed exactly this way);
+  * the refinement net (MinkUNet, up_factor offsets, Tanh head) is
+    trained on the scene with the reference Aggr-dataset recipe
+    (input = GT jittered sigma 0.2 / clip 0.3, chamfer target = GT;
+    SemanticKITTITemporalAggr.py:83, models_refine.py:68-72);
+  * sampling: 50-step DPM-Solver++(2M,SDE), THREE sampler seeds per
+    precision (mean +- std per metric — VERDICT r4 Weak #4: single-seed
+    deltas between precisions are trajectory chaos, not precision
+    effects), at the reference guidance w=6 AND at w=1 (the reference
+    CLI exposes -s/cond_weight; in a single-scene protocol the cond and
+    uncond branches converge to the same model, so w=6 amplifies their
+    residual difference — pure noise — by 6x);
+  * every prediction goes through the reference TEST-PROTOCOL postprocess
+    before metrics (range crop + z-stat crop, models.py:303-310 — the
+    official pipeline never evaluates raw sampler output; round 4 did,
+    unfairly penalizing the diffusion rows);
+  * metrics are the reference eval set (utils/eval_path.py:126-144).
+  * context rows: the untrained model (floor) and the tiled partial
+    input (what zero diffusion steps would give) under the same
+    postprocess.
 
-Writes QUALITY_r04.json. Env knobs: QE_NF (default 16384), QE_RES (0.1),
-QE_TRAIN_STEPS (400), QE_SSTEPS (50), QE_OUT (output path).
+Writes QUALITY_r05.json. Env knobs: QE_NF (default 16384), QE_RES (0.05),
+QE_TRAIN_STEPS (8000), QE_REFINE_STEPS (1500), QE_SSTEPS (50), QE_SEEDS
+(3), QE_LR (2e-3), QE_OUT (output path).
 Run: python scripts/quality_eval.py        (TPU if ambient, else CPU)
 """
 
@@ -31,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -49,12 +69,19 @@ enable_compile_cache()
 
 REF_SCAN = "/root/reference/lidiff/Datasets/test/000123.ply"
 NF = int(os.environ.get("QE_NF", 16384))
-RES = float(os.environ.get("QE_RES", 0.1))
-TRAIN_STEPS = int(os.environ.get("QE_TRAIN_STEPS", 400))
+RES = float(os.environ.get("QE_RES", 0.05))
+TRAIN_STEPS = int(os.environ.get("QE_TRAIN_STEPS", 8000))
+REFINE_STEPS = int(os.environ.get("QE_REFINE_STEPS", 1500))
 S_STEPS = int(os.environ.get("QE_SSTEPS", 50))
+N_SEEDS = int(os.environ.get("QE_SEEDS", 3))
+LR = float(os.environ.get("QE_LR", 2e-3))
 OUT = os.environ.get("QE_OUT", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "QUALITY_r04.json"))
+    os.path.dirname(os.path.abspath(__file__)), "..", "QUALITY_r05.json"))
+PARAMS_OUT = os.environ.get("QE_PARAMS_OUT", "/tmp/quality_r05_params.pkl")
+UNCOND_PROB = 0.1
+UP_FACTOR = 6
 NP_PART = NF // 10
+MAX_RANGE = 50.0
 
 
 def log(msg):
@@ -72,7 +99,7 @@ def load_scene():
         from lidiff_tpu.utils.ply import read_ply
         pts = read_ply(REF_SCAN)["points"].astype(np.float32)
         d = np.linalg.norm(pts, axis=1)
-        pts = pts[(d > 3.5) & (d < 50.0)]
+        pts = pts[(d > 3.5) & (d < MAX_RANGE)]
         gt = fps(pts, NF).astype(np.float32)
         src = "000123.ply"
     else:
@@ -94,11 +121,12 @@ def build_cfg():
         "experiment": {"id": "quality_eval"},
         "data": {"data_dir": "", "resolution": RES, "dataloader": "KITTI",
                  "split": "train", "train": [], "validation": [], "test": [],
-                 "num_points": NF, "max_range": 50.0,
+                 "num_points": NF, "max_range": MAX_RANGE,
                  "dataset_norm": False, "std_axis_norm": False},
-        "train": {"uncond_prob": 0.1, "uncond_w": 6.0, "n_gpus": 1,
-                  "num_workers": 0, "max_epoch": 1, "lr": 2e-3,
-                  "batch_size": 1, "decay_lr": 1e-4, "up_factor": 6},
+        "train": {"uncond_prob": UNCOND_PROB, "uncond_w": 6.0, "n_gpus": 1,
+                  "num_workers": 0, "max_epoch": 1, "lr": LR,
+                  "batch_size": 1, "decay_lr": 1e-4,
+                  "up_factor": UP_FACTOR},
         "diff": {"beta_start": 3.5e-5, "beta_end": 0.007,
                  "beta_func": "linear", "t_steps": 1000, "s_steps": S_STEPS,
                  "reg_weight": 5.0},
@@ -132,110 +160,228 @@ def eval_metrics(gt: np.ndarray, pred: np.ndarray) -> dict:
     }
 
 
+def agg_rows(rows: list[dict]) -> dict:
+    """mean +- std across sampler seeds, per metric."""
+    out = {}
+    for k in rows[0]:
+        if k == "pr_auc":
+            arr = np.array([r[k] for r in rows])
+            out[k] = [round(float(m), 4) for m in arr.mean(0)]
+            out[k + "_std"] = [round(float(s), 4) for s in arr.std(0)]
+        elif k == "n_pred":
+            out[k] = int(np.mean([r[k] for r in rows]))
+        else:
+            vals = np.array([r[k] for r in rows], np.float64)
+            out[k] = round(float(vals.mean()), 4)
+            out[k + "_std"] = round(float(vals.std()), 4)
+    out["n_seeds"] = len(rows)
+    return out
+
+
 def main():
     from lidiff_tpu.models.diffusion import DiffusionTask
+    from lidiff_tpu.models.refine import RefineTask
     from lidiff_tpu.ops import sparse_conv as sc
+    from lidiff_tpu.train import postprocess_test_pred
 
     gt, part, src = load_scene()
-    log(f"scene {src}: gt={gt.shape} part={part.shape}")
+    log(f"scene {src}: gt={gt.shape} part={part.shape} res={RES}")
     cfg = build_cfg()
     task = DiffusionTask(cfg)
 
     full_j = jnp.asarray(gt[None])
     part_j = jnp.asarray(part[None])
-    batch = {"pcd_full": full_j, "pcd_part": part_j}
+    x_init = jnp.tile(part_j, (1, 10, 1))
+    x_init_np = np.asarray(x_init)
 
-    # train in f32 (precision-neutral checkpoint; the table isolates
-    # INFERENCE precision)
+    # ---------------- diffusion training (f32) ----------------
     sc.set_compute_dtype("float32")
     variables = task.init(jax.random.PRNGKey(0), batch_size=1,
                           n_full=2048, n_part=256)
     params, stats = variables["params"], variables["batch_stats"]
     untrained = {"params": params, "batch_stats": stats}
 
-    opt = optax.adam(2e-3)
+    sched = optax.cosine_decay_schedule(LR, TRAIN_STEPS, alpha=0.05)
+    opt = optax.adam(sched)
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, stats, opt_state, key):
+    def step(params, stats, opt_state, key, part_in):
+        batch = {"pcd_full": full_j, "pcd_part": part_in}
         (loss, (stats, metrics)), grads = jax.value_and_grad(
             task.loss_fn, has_aux=True)(params, stats, batch, key)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), stats, opt_state, loss
+        return (optax.apply_updates(params, updates), stats, opt_state,
+                loss, metrics["loss_mse"])
 
     key = jax.random.PRNGKey(1)
-    losses = []
-    log(f"training {TRAIN_STEPS} steps (compile on first)")
+    losses, mses = [], []
+    log(f"training diffusion {TRAIN_STEPS} steps (compile on first)")
     for i in range(TRAIN_STEPS):
-        key, k = jax.random.split(key)
-        params, stats, opt_state, loss = step(params, stats, opt_state, k)
+        key, k, kd = jax.random.split(key, 3)
+        drop = jax.random.uniform(kd, ()) < UNCOND_PROB
+        part_in = jnp.where(drop, 0.0, 1.0) * part_j
+        params, stats, opt_state, loss, mse = step(params, stats, opt_state,
+                                                   k, part_in)
         if i == 0:
             jax.block_until_ready(loss)
             log(f"train step 0 done (loss={float(loss):.4f})")
         losses.append(loss)
-        if (i + 1) % 100 == 0:
-            log(f"train step {i + 1}: loss={float(loss):.4f}")
+        mses.append(mse)
+        if (i + 1) % 1000 == 0:
+            log(f"train step {i + 1}: loss={float(loss):.4f} "
+                f"mse={float(mse):.4f}")
     losses = [float(x) for x in losses]
+    mses = [float(x) for x in mses]
     trained = {"params": params, "batch_stats": stats}
+    with open(PARAMS_OUT, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, trained), f)
+    log(f"saved trained diffusion params to {PARAMS_OUT}")
 
-    x_init = jnp.tile(part_j, (1, 10, 1))
-    sample_key = jax.random.PRNGKey(5)   # SAME key for every precision
+    # ---------------- refinement training (f32) ----------------
+    rtask = RefineTask(cfg)
+    rvars = rtask.init(jax.random.PRNGKey(2), batch_size=1, n_points=2048)
+    rparams, rstats = rvars["params"], rvars["batch_stats"]
+    rsched = optax.cosine_decay_schedule(1e-3, REFINE_STEPS, alpha=0.1)
+    ropt = optax.adam(rsched)
+    ropt_state = ropt.init(rparams)
 
-    def run_sample(vars_, tag):
+    @jax.jit
+    def rstep(params, stats, opt_state, key):
+        # reference Aggr recipe: input = GT + clip(sigma 0.2 jitter, 0.3)
+        noise = jnp.clip(0.2 * jax.random.normal(key, full_j.shape),
+                         -0.3, 0.3)
+        batch = {"pcd_noise": full_j + noise, "pcd_full": full_j}
+        (loss, (stats, m)), grads = jax.value_and_grad(
+            rtask.loss_fn, has_aux=True)(params, stats, batch, key)
+        updates, opt_state = ropt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), stats, opt_state,
+                loss)
+
+    rkey = jax.random.PRNGKey(3)
+    rlosses = []
+    log(f"training refiner {REFINE_STEPS} steps")
+    for i in range(REFINE_STEPS):
+        rkey, k = jax.random.split(rkey)
+        rparams, rstats, ropt_state, rloss = rstep(rparams, rstats,
+                                                   ropt_state, k)
+        if i == 0:
+            jax.block_until_ready(rloss)
+            log(f"refine step 0 done (cd={float(rloss):.4f})")
+        rlosses.append(rloss)
+        if (i + 1) % 500 == 0:
+            log(f"refine step {i + 1}: cd={float(rloss):.4f}")
+    rlosses = [float(x) for x in rlosses]
+    rtrained = {"params": rparams, "batch_stats": rstats}
+    refine_fwd = jax.jit(lambda v, pts: rtask.forward(v, pts))
+
+    # ---------------- sampling + metrics ----------------
+    def run_sample(vars_, seed, w, tag):
         t0 = time.time()
         out = np.asarray(task.sample_chunked(
-            vars_, x_init, sample_key, part=part_j, chunk=5))[0]
-        log(f"sampled [{tag}] in {time.time() - t0:.1f}s")
+            vars_, x_init, jax.random.PRNGKey(seed), part=part_j,
+            w_uncond=w, chunk=5))[0]
+        log(f"sampled [{tag} seed={seed} w={w:g}] in {time.time() - t0:.1f}s")
         return out
 
+    def post(pred):
+        return postprocess_test_pred(pred, x_init_np[0], MAX_RANGE)
+
+    def refined_of(pred):
+        """Reference refine_forward semantics (pipeline:127-138): the
+        refiner upsamples the POSTPROCESSED diffusion output."""
+        p = post(pred)
+        pj = jnp.asarray(p[None])
+        offs = refine_fwd(rtrained, pj)
+        return np.asarray(rtask.upsample(pj, offs))[0]
+
+    seeds = [5 + 100 * s for s in range(N_SEEDS)]
     rows = {}
-    # f32 / bf16 / int8 on the SAME trained params and key
+
+    # precision sweep at the reference guidance (w=6), 3 seeds each
     for tag, dtype, quant in (("f32", "float32", False),
                               ("bf16", "bfloat16", False),
                               ("int8", "bfloat16", True)):
         sc.set_compute_dtype(dtype)
         sc.set_conv_quant(quant)
         try:
-            pred = run_sample(trained, tag)
+            per_seed = [eval_metrics(gt, post(run_sample(
+                trained, s, 6.0, tag))) for s in seeds]
         finally:
             sc.set_conv_quant(False)
-        rows[tag] = eval_metrics(gt, pred)
+        rows[f"diff_w6_{tag}"] = agg_rows(per_seed)
 
-    # context rows
+    # guidance ablation + the refined headline row (bf16, the bench
+    # default; the reference CLI exposes cond_weight as -s)
+    sc.set_compute_dtype("bfloat16")
+    w1_preds = [run_sample(trained, s, 1.0, "bf16") for s in seeds]
+    rows["diff_w1_bf16"] = agg_rows([eval_metrics(gt, post(p))
+                                     for p in w1_preds])
     sc.set_compute_dtype("float32")
-    rows["untrained_f32"] = eval_metrics(gt, run_sample(untrained,
-                                                        "untrained"))
-    rows["input_tiled"] = eval_metrics(gt, np.asarray(x_init)[0])
+    rows["refined_w1_bf16"] = agg_rows([eval_metrics(gt, refined_of(p))
+                                        for p in w1_preds])
 
+    sc.set_compute_dtype("bfloat16")
+    w6_preds = [run_sample(trained, s, 6.0, "bf16-re") for s in seeds]
+    sc.set_compute_dtype("float32")
+    rows["refined_w6_bf16"] = agg_rows([eval_metrics(gt, refined_of(p))
+                                        for p in w6_preds])
+
+    # context rows (same postprocess)
+    rows["untrained_f32"] = eval_metrics(
+        gt, post(run_sample(untrained, seeds[0], 6.0, "untrained")))
+    rows["input_tiled"] = eval_metrics(gt, post(x_init_np[0]))
+
+    bar = rows["input_tiled"]
+    best = min(("diff_w1_bf16", "diff_w6_bf16", "refined_w1_bf16",
+                "refined_w6_bf16"), key=lambda k: rows[k]["cd"])
     result = {
         "artifact": "completion_quality",
-        "round": 4,
+        "round": 5,
         "scene": src,
         "protocol": {
             "n_full": NF, "n_part": NP_PART, "resolution": RES,
             "s_steps": S_STEPS, "train_steps": TRAIN_STEPS,
-            "uncond_w": 6.0, "sampler": "dpm-solver++(2M,SDE)",
+            "refine_steps": REFINE_STEPS, "up_factor": UP_FACTOR,
+            "uncond_prob": UNCOND_PROB, "lr": LR,
+            "seeds": seeds, "sampler": "dpm-solver++(2M,SDE)",
+            "postprocess": "reference test_step range+z-stat crop "
+                           "(models.py:303-310)",
             "device": str(jax.devices()[0]),
             "train_loss_first10": round(float(np.mean(losses[:10])), 4),
             "train_loss_last10": round(float(np.mean(losses[-10:])), 4),
+            "train_mse_last10": round(float(np.mean(mses[-10:])), 4),
+            "refine_cd_first10": round(float(np.mean(rlosses[:10])), 4),
+            "refine_cd_last10": round(float(np.mean(rlosses[-10:])), 4),
         },
         "metrics_vs_gt": rows,
         "acceptance": {
             "cd_bf16_vs_f32_pct": round(
-                100.0 * (rows["bf16"]["cd"] - rows["f32"]["cd"])
-                / max(rows["f32"]["cd"], 1e-9), 2),
+                100.0 * (rows["diff_w6_bf16"]["cd"]
+                         - rows["diff_w6_f32"]["cd"])
+                / max(rows["diff_w6_f32"]["cd"], 1e-9), 2),
             "cd_int8_vs_f32_pct": round(
-                100.0 * (rows["int8"]["cd"] - rows["f32"]["cd"])
-                / max(rows["f32"]["cd"], 1e-9), 2),
-            "gate": "BASELINE.md: CD@0.2-resolution within 1% across "
-                    "precisions (bf16 is the bench default)",
+                100.0 * (rows["diff_w6_int8"]["cd"]
+                         - rows["diff_w6_f32"]["cd"])
+                / max(rows["diff_w6_f32"]["cd"], 1e-9), 2),
+            "precision_gate": "BASELINE.md: CD within 1% across precisions "
+                              "(bf16 is the bench default); deltas now "
+                              "carry across-seed std",
+            "best_trained_row": best,
+            "beats_input_cd": bool(rows[best]["cd"] < bar["cd"]),
+            "beats_input_iou05": bool(rows[best]["iou_0.5"]
+                                      > bar["iou_0.5"]),
+            "learning_gate": "VERDICT r4 #1: a trained configuration must "
+                             "beat the copy-the-input baseline "
+                             f"(input_tiled cd={bar['cd']}, "
+                             f"iou_0.5={bar['iou_0.5']})",
         },
     }
     out_path = os.path.abspath(OUT)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     log(f"wrote {out_path}")
-    print(json.dumps(result["metrics_vs_gt"], indent=2))
+    print(json.dumps(result["acceptance"], indent=2))
 
 
 if __name__ == "__main__":

@@ -103,10 +103,32 @@ def test_grid_matches_exact_loss():
     assert l1 < l0
 
 
+def test_grid_unit_scale_clouds():
+    """ADVICE r4 (medium): dataset_norm / std_axis_norm configs feed
+    unit-scale coordinates to the refine loss; the grid path's adaptive
+    resolution must quantize them as finely (relative to extent) as
+    metric clouds — an absolute 4 cm grid would be ~50x too coarse here
+    and silently degrade the NN picks."""
+    rng = np.random.default_rng(8)
+    B = 1
+    x = rng.normal(scale=0.3, size=(B, 1200, 3)).astype(np.float32)
+    y = (x[:, rng.permutation(1200)[:900]] +
+         rng.normal(scale=0.01, size=(B, 900, 3))).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    exact = float(chamfer_distance(xj, yj, method="exact"))
+    grid = float(chamfer_distance(xj, yj, method="grid"))
+    assert abs(grid - exact) <= max(1e-3 * exact, 1e-7), (grid, exact)
+    g = jax.grad(lambda a: chamfer_distance(a, yj, method="grid"))(xj)
+    assert np.isfinite(np.asarray(g)).all()
+    l1 = float(chamfer_distance(xj - 0.02 * g, yj, method="grid"))
+    assert l1 < grid
+
+
 def test_grid_masked_and_batched():
     """Masks drop points from both sides; batches never cross-match.
-    Clouds live on a coarse lattice so the default 4 cm grid cannot
-    flip any argmin and the result is EXACTLY the masked exact loss."""
+    Clouds live on a coarse lattice so the adaptive grid (finer than the
+    0.5 m spacing by orders of magnitude) cannot flip any argmin and the
+    result is EXACTLY the masked exact loss."""
     rng = np.random.default_rng(7)
     y = (rng.integers(-30, 30, size=(2, 48, 3)) * 0.5).astype(np.float32)
     x = (y[:, rng.integers(0, 48, 64)] +

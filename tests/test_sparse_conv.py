@@ -106,6 +106,34 @@ def test_down_conv_child_form_matches_gather_form():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_down_conv_bf16_drift():
+    """ADVICE r4: with LIDIFF_COMPUTE_DTYPE=bfloat16 the child-form down
+    conv casts the GEMM output f32->bf16 BEFORE the scatter-add, so a
+    parent's <=8 children accumulate in bf16. Bound that drift against the
+    f32 dense reference: it must stay within the bf16 rounding regime of
+    one GEMM + an 8-term sum (~2^-8 relative), nowhere near an
+    accumulation blow-up."""
+    from lidiff_tpu.ops import sparse_conv as sc
+    geom, vox_feats, rng = _make_grid(seed=5, B=2, N=400, cap=512)
+    pooled, c2p = G.pool_geom(geom, 300)
+    parent_idx, tap = G.up_maps(geom, c2p)
+    W = rng.normal(0, 0.3, size=(8, 3, 8)).astype(np.float32)
+    ref = _dense_conv_ref_down(np.asarray(geom.coords),
+                               np.asarray(geom.mask), vox_feats,
+                               np.asarray(pooled.coords),
+                               np.asarray(pooled.mask),
+                               np.asarray(G.cube_offsets(2, 1)), W)
+    sc.set_compute_dtype("bfloat16")
+    try:
+        out = sparse_conv(jnp.asarray(vox_feats), G.DownMap(parent_idx, tap),
+                          jnp.asarray(W), pooled.mask)
+    finally:
+        sc.set_compute_dtype("float32")
+    err = np.abs(np.asarray(out, np.float32) - ref)
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert (err / scale).max() < 0.02, (err / scale).max()
+
+
 def _dense_conv_ref_down(in_coords, in_mask, feats, out_coords, out_mask,
                          offs, W):
     table = {(in_coords[v, 0], *in_coords[v, 1:]): v
