@@ -63,6 +63,8 @@ from lidiff_tpu.ops import keys as K
 QTILE = 512
 RBLK = 2048
 UWND = 512                  # upper-bound window rows (prune prolog)
+MAXB = 32                   # compact-grid ref-block budget per query tile
+COMPACT_MIN_NR = 16         # compact grid only when nr exceeds this
 COORD_LIM = 1280            # |coord| bound for f32-exact -2 q.r (< 2^24);
                             # BEYOND it packed e goes negative and the
                             # in-block index reconstruction breaks —
@@ -127,6 +129,66 @@ def _make_kernel(T: int, R: int, nr: int, batched: bool, prune: bool):
             compute()
 
         @pl.when(j == nr - 1)
+        def _fin():
+            o_ref[0, 0] = ibest[:, 0]
+
+    return kernel
+
+
+def _make_kernel_compact(T: int, R: int, maxb: int, batched: bool):
+    """Compact-grid variant: grid is (nq, maxb) and the j-th step visits
+    ref block `start[i] + j` (scalar-prefetched per-tile interval) instead
+    of iterating every block and skipping in-kernel. The surviving blocks
+    of the gap prune are a CONTIGUOUS id range per tile — block key
+    ranges are monotone under the lexsort, so the low-side prune decision
+    is monotone decreasing in j and the high-side monotone increasing —
+    which is what makes a (start, count) interval exact. At chamfer-grid
+    scale (1.08M x 360k: 2110 x 176 blocks) the full grid pays ~1.8 us of
+    pipeline overhead per (i, j) step with ~90% of steps skipped; the
+    compact grid visits only the interval (measured 1307 -> ~250 ms for
+    the two refine-loss matches)."""
+    ng = R // 128
+
+    def kernel(start_ref, cnt_ref, q_ref, rx_ref, rsqo_ref, o_ref, dbest,
+               ibest):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            dbest[:] = jnp.full((T, 1), jnp.int32(2 ** 30))
+            ibest[:] = jnp.zeros((T, 1), jnp.int32)
+
+        def compute():
+            jb = start_ref[i] + j                    # actual block id
+            q = q_ref[0]                             # [T, 8] f32
+            rx = rx_ref[:]                           # [8, R]
+            cross = jax.lax.dot_general(
+                q[:, 1:4], rx[1:4],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            e = cross.astype(jnp.int32) * 16 + rsqo_ref[0][None, :]
+            if batched:
+                e = jnp.where(q[:, 0:1] != rx[4][None, :],
+                              jnp.int32(2 ** 30), e)
+            r1 = e[:, 0:128]
+            for k in range(1, ng):
+                r1 = jnp.minimum(r1, e[:, k * 128:(k + 1) * 128])
+            m = jnp.min(r1, axis=1, keepdims=True)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+            lane = jnp.min(jnp.where(r1 == m, lane_iota,
+                                     jnp.int32(2 ** 30)),
+                           axis=1, keepdims=True)
+            dm = m // 16
+            ib = (m - dm * 16) * 128 + lane
+            better = dm < dbest[:]                   # ascending block order
+            dbest[:] = jnp.where(better, dm, dbest[:])  # => first-block ties
+            ibest[:] = jnp.where(better, ib + jb * R, ibest[:])
+
+        pl.when(j < cnt_ref[i])(compute)
+
+        @pl.when(j == maxb - 1)
         def _fin():
             o_ref[0, 0] = ibest[:, 0]
 
@@ -201,6 +263,14 @@ def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
                       th0[:, None] - bh1[None, :])    # [nq, nr]
     gap = jnp.maximum(gap, 0).astype(jnp.float32)
     ok = (gap * gap <= u2m[:, None]).astype(jnp.int32)
+    # the surviving blocks form a contiguous id interval per tile (bh0/bh1
+    # are monotone under the lexsort): (start, cnt) drives the compact
+    # grid; the bit mask drives the full-grid fallback
+    start = jnp.argmax(ok, axis=1).astype(jnp.int32)
+    last = (nr - 1 - jnp.argmax(ok[:, ::-1], axis=1)).astype(jnp.int32)
+    any_ok = jnp.max(ok, axis=1) > 0
+    cnt = jnp.where(any_ok, last - start + 1, 0).astype(jnp.int32)
+    start = jnp.where(any_ok, start, 0)
     # bit-pack along the block axis, FLATTENED to 1-D: SMEM scalar-prefetch
     # budget (~1 MB) cannot hold [nq, nr] int32 at chamfer-scale query
     # counts, and SMEM pads a 2-D array's minor dim to 128 words — a 1-D
@@ -209,20 +279,31 @@ def _prune_mask(q3, q_mask, r_coords, rsq_shift, nq, T, R, nr, Vr,
     ok = jnp.pad(ok, ((0, 0), (0, nw * 32 - nr))).reshape(nq, nw, 32)
     weights = jnp.left_shift(jnp.int32(1),
                              jnp.arange(32, dtype=jnp.int32))
-    return jnp.sum(ok * weights[None, None, :], axis=2,
-                   dtype=jnp.int32).reshape(nq * nw)
+    packed = jnp.sum(ok * weights[None, None, :], axis=2,
+                     dtype=jnp.int32).reshape(nq * nw)
+    return packed, start, cnt
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "n_batch"))
+@functools.partial(jax.jit, static_argnames=("interpret", "n_batch",
+                                              "compact_min_nr", "maxb"))
 def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
                         r_coords: jnp.ndarray, r_mask: jnp.ndarray,
                         *, interpret: bool = False,
-                        n_batch: int = 0) -> jnp.ndarray:
+                        n_batch: int = 0,
+                        compact_min_nr: int | None = None,
+                        maxb: int | None = None) -> jnp.ndarray:
     """For each query voxel, the index of the nearest reference voxel.
 
     Same contract as ops.knn.nn_match_idx (indices arbitrary for invalid
     queries; callers mask downstream).  `n_batch=1` statically removes the
     per-element batch compare (0 = unknown, keep it).
+
+    With many ref blocks (nr > compact_min_nr) the pruned kernel runs on a
+    compact (nq, maxb) grid over per-tile survivor intervals; a traced
+    `lax.cond` falls back to the full (nq, nr) bit-masked grid whenever
+    any tile's interval exceeds maxb, so the result is always exact.
+    `compact_min_nr`/`maxb` exist for tests; production uses the module
+    constants.
     """
     Vq = q_coords.shape[0]
     Vr = r_coords.shape[0]
@@ -233,6 +314,10 @@ def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
     Vrp = nr * R
     batched = n_batch != 1
     prune = nr >= 3 and Vr >= UWND
+    compact_min_nr = COMPACT_MIN_NR if compact_min_nr is None else \
+        compact_min_nr
+    maxb = MAXB if maxb is None else maxb
+    compact = prune and nr > compact_min_nr
 
     qc = jnp.pad(q_coords.astype(jnp.float32),
                  ((0, nq * T - Vq), (0, 4)))         # [nqT, 8]
@@ -261,22 +346,65 @@ def nn_match_idx_pallas(q_coords: jnp.ndarray, q_mask: jnp.ndarray,
         interpret=interpret,
     )
     if prune:
-        ok = _prune_mask(q3, qm, rc, rsq_shift, nq, T, R, nr, Vr, batched)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nq, nr),
-            in_specs=[
-                pl.BlockSpec((1, T, 8), lambda i, j, ok_ref: (i, 0, 0)),
-                pl.BlockSpec((8, R), lambda i, j, ok_ref: (0, j)),
-                pl.BlockSpec((1, R), lambda i, j, ok_ref: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, T),
-                                   lambda i, j, ok_ref: (i, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
-                            pltpu.VMEM((T, 1), jnp.int32)],
-        )
-        out = pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
-            ok, q3, rx, rsqo16)
+        ok, start, cnt = _prune_mask(q3, qm, rc, rsq_shift, nq, T, R, nr,
+                                     Vr, batched)
+
+        def run_full(_):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nq, nr),
+                in_specs=[
+                    pl.BlockSpec((1, T, 8), lambda i, j, ok_ref: (i, 0, 0)),
+                    pl.BlockSpec((8, R), lambda i, j, ok_ref: (0, j)),
+                    pl.BlockSpec((1, R), lambda i, j, ok_ref: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, T),
+                                       lambda i, j, ok_ref: (i, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
+                                pltpu.VMEM((T, 1), jnp.int32)],
+            )
+            return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+                ok, q3, rx, rsqo16)
+
+        if not compact:
+            out = run_full(0)
+        else:
+            mb = min(maxb, nr)
+
+            def run_compact(_):
+                def _blk(i, j, start_ref, cnt_ref):
+                    # clamp so exhausted steps re-address the PREVIOUS
+                    # block (the pipeline skips the re-fetch) and stay in
+                    # range even for cnt == 0 tiles
+                    jb = start_ref[i] + jnp.minimum(
+                        j, jnp.maximum(cnt_ref[i] - 1, 0))
+                    return (0, jnp.minimum(jb, nr - 1))
+
+                grid_spec = pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(nq, mb),
+                    in_specs=[
+                        pl.BlockSpec((1, T, 8),
+                                     lambda i, j, s, c: (i, 0, 0)),
+                        pl.BlockSpec((8, R), lambda i, j, s, c: _blk(
+                            i, j, s, c)),
+                        pl.BlockSpec((1, R), lambda i, j, s, c: _blk(
+                            i, j, s, c)),
+                    ],
+                    out_specs=pl.BlockSpec((1, 1, T),
+                                           lambda i, j, s, c: (i, 0, 0)),
+                    scratch_shapes=[pltpu.VMEM((T, 1), jnp.int32),
+                                    pltpu.VMEM((T, 1), jnp.int32)],
+                )
+                kern_c = _make_kernel_compact(T, R, mb, batched)
+                # cnt is clipped for the index maps only; the overflow
+                # cond below guarantees cnt <= mb wherever this branch
+                # actually runs
+                return pl.pallas_call(kern_c, grid_spec=grid_spec,
+                                      **common)(
+                    start, jnp.minimum(cnt, mb), q3, rx, rsqo16)
+
+            out = jax.lax.cond(jnp.max(cnt) > mb, run_full, run_compact, 0)
     else:
         out = pl.pallas_call(
             kernel,

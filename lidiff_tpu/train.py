@@ -47,8 +47,13 @@ def main(config, weights, checkpoint, test, max_steps):
         # using .get with defaults)
         wc = CheckpointManager(os.path.join(weights, "checkpoints"))
         ckpt_cfg = wc.load_hparams() or dict(cfg)
+        # ("train", "uncond_w") realizes the reference's INTENT: its graft
+        # block sets uncond_min_w/uncond_max_w — keys absent from every
+        # shipped config (the latent bug train.py:55-56) — while the
+        # working guidance knob is uncond_w
         for sec, key in [("train", "num_workers"), ("train", "n_gpus"),
-                         ("train", "batch_size"), ("data", "num_points"),
+                         ("train", "batch_size"), ("train", "uncond_w"),
+                         ("data", "num_points"),
                          ("data", "data_dir"), ("diff", "s_steps"),
                          ("experiment", "id")]:
             ckpt_cfg.setdefault(sec, {})[key] = cfg[sec][key]

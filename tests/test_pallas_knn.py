@@ -136,6 +136,57 @@ def test_exact_at_coord_lim_bound():
     np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
 
 
+def test_compact_grid_exact():
+    """Compact (nq, maxb) survivor-interval grid (the chamfer-scale path,
+    nr > COMPACT_MIN_NR in production; forced here via the test knobs):
+    bit-identical to the XLA argmin. maxb=nr guarantees the compact
+    branch itself runs (cnt <= nr always)."""
+    rng = np.random.default_rng(9)
+    qc, qm, rc, rm = _mk_sorted(rng, 4000, 9000, lim=1000)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True, n_batch=1,
+                              compact_min_nr=2, maxb=5)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def test_compact_overflow_falls_back_exact():
+    """maxb=1 makes survivor intervals overflow the compact budget: the
+    traced lax.cond must route to the full bit-masked grid and stay
+    exact."""
+    rng = np.random.default_rng(10)
+    qc, qm, rc, rm = _mk_sorted(rng, 3000, 9000, b=2, lim=900, r_valid=0.9)
+    ref = nn_match_idx(qc, qm, rc, rm)
+    got = nn_match_idx_pallas(qc, qm, rc, rm, interpret=True,
+                              compact_min_nr=2, maxb=1)
+    v = np.asarray(qm)
+    np.testing.assert_array_equal(np.asarray(got)[v], np.asarray(ref)[v])
+
+
+def test_compact_clustered_slabs_exact():
+    """Clustered ref slabs (non-trivial survivor intervals spanning empty
+    gaps) through the compact grid: never drops a true argmin."""
+    rng = np.random.default_rng(11)
+    slabs = []
+    for x0 in (-900, -300, 500, 950):
+        n = 2200
+        c = np.stack([np.full(n, 0), rng.integers(x0, x0 + 40, n),
+                      rng.integers(-200, 200, n),
+                      rng.integers(-30, 30, n)], 1).astype(np.int32)
+        slabs.append(c)
+    rc = _lexsort(np.concatenate(slabs))
+    qc = _lexsort(np.concatenate(
+        [np.zeros((2000, 1)), rng.integers(-1000, 1000, (2000, 3))],
+        1).astype(np.int32))
+    qm = jnp.ones((len(qc),), bool)
+    rm = jnp.ones((len(rc),), bool)
+    ref = nn_match_idx(jnp.asarray(qc), qm, jnp.asarray(rc), rm)
+    got = nn_match_idx_pallas(jnp.asarray(qc), qm, jnp.asarray(rc), rm,
+                              interpret=True, n_batch=1,
+                              compact_min_nr=2, maxb=5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pruned_clustered_far_queries():
     """Queries far from every ref (big upper bounds -> little pruning) and
     refs clustered in distant slabs (big gaps -> heavy pruning), together:
