@@ -449,15 +449,15 @@ def build_pyramid(points: jnp.ndarray, resolution: float,
     for li, g in enumerate(geoms):
         kmap3 = _kmap3(g)
         if li + 1 < num_levels:
-            coarse = geoms[li + 1]
-            # down conv: output = coarse voxels, taps {0, s_fine}^3 into
-            # fine — derived from the pooling cumsum, zero hash lookups
-            down_kmap = down_kmap_from_pooling(g, c2ps[li],
-                                               coarse.capacity)
+            # down/up convs run in CHILD form off (parent_idx, up_tap)
+            # (sparse_conv_down / sparse_conv_transpose); the [V_c, 8]
+            # gather-form down_kmap has no production consumer, so it is
+            # no longer built here — build it explicitly via
+            # down_kmap_from_pooling for fallback/verification paths
             parent_idx, up_tap = up_maps(g, c2ps[li])
         else:
-            down_kmap, parent_idx, up_tap = None, None, None
-        levels.append(LevelGeom(geom=g, kmap3=kmap3, down_kmap=down_kmap,
+            parent_idx, up_tap = None, None
+        levels.append(LevelGeom(geom=g, kmap3=kmap3, down_kmap=None,
                                 parent_idx=parent_idx, up_tap=up_tap))
 
     return Pyramid(levels=tuple(levels), point2voxel=p2v, vox_feats=vox_feats)
