@@ -65,9 +65,12 @@ def test_trainer_steps_and_checkpoint(tmp_path):
     assert all(np.isfinite(l) for l in losses)
 
     trainer.save(0, state)
+    # the payload carries the epoch alongside the training state
+    # (epoch-aware resume); the restore template must match it
     restored, step = trainer.ckpt.restore(
-        template=jax.tree_util.tree_map(np.asarray, state))
+        template=jax.tree_util.tree_map(np.asarray, {**state, "epoch": 0}))
     assert restored is not None
+    assert restored["epoch"] == 0
     p0 = jax.tree_util.tree_leaves(state["params"])[0]
     r0 = jax.tree_util.tree_leaves(restored["params"])[0]
     np.testing.assert_allclose(np.asarray(p0), np.asarray(r0))
