@@ -45,6 +45,11 @@ class DPMSolver:
     sigma_t: jnp.ndarray         # [T] sqrt(1 - alphas_cumprod)
     lambda_t: jnp.ndarray        # [T]
     lower_order_final: bool = struct.field(pytree_node=False, default=True)
+    #: True = 'sde-dpmsolver++' (the reference's algorithm_type,
+    #: models.py:65-73); False = deterministic 'dpmsolver++' (the other
+    #: algorithm the diffusers scheduler exposes) — same multistep
+    #: machinery, no noise injection, ODE probability-flow update
+    sde: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_steps(self) -> int:
@@ -55,14 +60,16 @@ class DPMSolver:
         sampling closures — `id()` of a dead solver can be recycled and
         would silently reuse stale coefficient tables)."""
         import numpy as _np
-        return (self.num_steps, self.lower_order_final,
+        return (self.num_steps, self.lower_order_final, self.sde,
                 bytes(_np.asarray(self.timesteps).tobytes()),
                 bytes(_np.asarray(self.lambda_t).tobytes()))
 
 
 def make_dpm_solver(name: str, t_steps: int, s_steps: int,
                     beta_start: float | None = None,
-                    beta_end: float | None = None) -> DPMSolver:
+                    beta_end: float | None = None,
+                    algorithm: str = "sde-dpmsolver++") -> DPMSolver:
+    assert algorithm in ("sde-dpmsolver++", "dpmsolver++"), algorithm
     betas = make_betas(name, t_steps, beta_start, beta_end).astype(np.float64)
     ac = np.cumprod(1.0 - betas)
     alpha_t = np.sqrt(ac)
@@ -75,6 +82,7 @@ def make_dpm_solver(name: str, t_steps: int, s_steps: int,
         alpha_t=jnp.asarray(alpha_t, jnp.float32),
         sigma_t=jnp.asarray(sigma_t, jnp.float32),
         lambda_t=jnp.asarray(lam, jnp.float32),
+        sde=(algorithm == "sde-dpmsolver++"),
     )
 
 
@@ -119,18 +127,26 @@ def solver_step(solver: DPMSolver, state: SolverState,
     m0 = (state.sample - s_c * eps_pred) / a_c
 
     h = l_n - l_c
-    exp_h = jnp.exp(-h)
-    one_m = 1.0 - jnp.exp(-2.0 * h)
-    lead = (s_n / s_c) * exp_h * state.sample
-    noise_term = s_n * jnp.sqrt(jnp.maximum(one_m, 0.0)) * noise
-
-    first = lead + a_n * one_m * m0 + noise_term
+    if solver.sde:
+        exp_h = jnp.exp(-h)
+        one_m = 1.0 - jnp.exp(-2.0 * h)
+        lead = (s_n / s_c) * exp_h * state.sample
+        noise_term = s_n * jnp.sqrt(jnp.maximum(one_m, 0.0)) * noise
+        first = lead + a_n * one_m * m0 + noise_term
+        corr = 0.5 * a_n * one_m
+    else:
+        # deterministic 'dpmsolver++' (probability-flow ODE):
+        #   x <- (sig_n / sig_c) x - alpha_n (exp(-h) - 1) D0
+        #        - 0.5 alpha_n (exp(-h) - 1) D1
+        one_m = 1.0 - jnp.exp(-h)                  # = -(exp(-h) - 1)
+        first = (s_n / s_c) * state.sample + a_n * one_m * m0
+        corr = 0.5 * a_n * one_m
 
     # 2nd order correction using the previous model output
     h_prev = l_c - state.prev_lambda
     r = h_prev / jnp.where(h == 0, 1.0, h)
     d1 = (m0 - state.prev_m) / jnp.where(r == 0, 1.0, r)
-    second = first + 0.5 * a_n * one_m * d1
+    second = first + corr * d1
 
     use_first = (i == 0)
     if solver.lower_order_final and S < 15:

@@ -79,9 +79,14 @@ class DiffusionTask:
         d = cfg["diff"]
         self.coeffs = make_ddpm(d["beta_func"], d["t_steps"],
                                 d.get("beta_start"), d.get("beta_end"))
+        # `diff.solver` selects between the reference's default
+        # 'sde-dpmsolver++' (models.py:65-73) and the deterministic
+        # 'dpmsolver++' the diffusers scheduler also exposes
         self.solver = make_dpm_solver(d["beta_func"], d["t_steps"],
                                       d["s_steps"], d.get("beta_start"),
-                                      d.get("beta_end"))
+                                      d.get("beta_end"),
+                                      algorithm=d.get(
+                                          "solver", "sde-dpmsolver++"))
         self.model = DiffusionModel(out_dim=cfg["model"]["out_dim"],
                                     axis_name=axis_name,
                                     cr=float(cfg["model"].get("cr", 1.0)),

@@ -66,7 +66,8 @@ class DiffCompletion:
         self.solver = make_dpm_solver(
             self.cfg["diff"]["beta_func"], int(self.cfg["diff"]["t_steps"]),
             int(denoising_steps), self.cfg["diff"].get("beta_start"),
-            self.cfg["diff"].get("beta_end"))
+            self.cfg["diff"].get("beta_end"),
+            algorithm=self.cfg["diff"].get("solver", "sde-dpmsolver++"))
         state, _ = ckpt.restore()
         if state is None:
             raise FileNotFoundError(f"empty checkpoint dir {diff_ckpt_dir}")

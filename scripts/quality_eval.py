@@ -42,7 +42,14 @@ checkpoints are not in this environment):
 
 Writes QUALITY_r05.json. Env knobs: QE_NF (default 16384), QE_RES (0.05),
 QE_TRAIN_STEPS (8000), QE_REFINE_STEPS (1500), QE_SSTEPS (50), QE_SEEDS
-(3), QE_LR (2e-3), QE_OUT (output path).
+(3), QE_LR (2e-3), QE_OUT (output path), QE_REFINE_SIGMA / QE_REFINE_CLIP
+(refiner jitter recipe; the reference uses 0.2/0.3 against aggregated
+maps, but the refiner's test-time input is the DIFFUSION OUTPUT whose
+measured residual to the surface is ~0.47 m here, so sigma must match
+the residual scale or the refiner never learns moves that big),
+QE_LOAD_PARAMS (path to a pickle of trained diffusion params from a
+previous run: skips the diffusion-training phase so refiner/sampling
+protocol changes don't pay the 8000-step retrain).
 Run: python scripts/quality_eval.py        (TPU if ambient, else CPU)
 """
 
@@ -78,6 +85,9 @@ LR = float(os.environ.get("QE_LR", 2e-3))
 OUT = os.environ.get("QE_OUT", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "QUALITY_r05.json"))
 PARAMS_OUT = os.environ.get("QE_PARAMS_OUT", "/tmp/quality_r05_params.pkl")
+LOAD_PARAMS = os.environ.get("QE_LOAD_PARAMS")
+REFINE_SIGMA = float(os.environ.get("QE_REFINE_SIGMA", 0.2))
+REFINE_CLIP = float(os.environ.get("QE_REFINE_CLIP", 0.3))
 UNCOND_PROB = 0.1
 UP_FACTOR = 6
 NP_PART = NF // 10
@@ -201,42 +211,51 @@ def main():
     params, stats = variables["params"], variables["batch_stats"]
     untrained = {"params": params, "batch_stats": stats}
 
-    sched = optax.cosine_decay_schedule(LR, TRAIN_STEPS, alpha=0.05)
-    opt = optax.adam(sched)
-    opt_state = opt.init(params)
+    if LOAD_PARAMS:
+        # protocol iteration on the refiner/sampler reuses the previous
+        # run's trained diffusion params verbatim; the loss trajectory
+        # fields are carried from that run's artifact when present
+        with open(LOAD_PARAMS, "rb") as f:
+            trained = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+        losses = mses = None
+        log(f"loaded trained diffusion params from {LOAD_PARAMS}")
+    else:
+        sched = optax.cosine_decay_schedule(LR, TRAIN_STEPS, alpha=0.05)
+        opt = optax.adam(sched)
+        opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, stats, opt_state, key, part_in):
-        batch = {"pcd_full": full_j, "pcd_part": part_in}
-        (loss, (stats, metrics)), grads = jax.value_and_grad(
-            task.loss_fn, has_aux=True)(params, stats, batch, key)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), stats, opt_state,
-                loss, metrics["loss_mse"])
+        @jax.jit
+        def step(params, stats, opt_state, key, part_in):
+            batch = {"pcd_full": full_j, "pcd_part": part_in}
+            (loss, (stats, metrics)), grads = jax.value_and_grad(
+                task.loss_fn, has_aux=True)(params, stats, batch, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), stats, opt_state,
+                    loss, metrics["loss_mse"])
 
-    key = jax.random.PRNGKey(1)
-    losses, mses = [], []
-    log(f"training diffusion {TRAIN_STEPS} steps (compile on first)")
-    for i in range(TRAIN_STEPS):
-        key, k, kd = jax.random.split(key, 3)
-        drop = jax.random.uniform(kd, ()) < UNCOND_PROB
-        part_in = jnp.where(drop, 0.0, 1.0) * part_j
-        params, stats, opt_state, loss, mse = step(params, stats, opt_state,
-                                                   k, part_in)
-        if i == 0:
-            jax.block_until_ready(loss)
-            log(f"train step 0 done (loss={float(loss):.4f})")
-        losses.append(loss)
-        mses.append(mse)
-        if (i + 1) % 1000 == 0:
-            log(f"train step {i + 1}: loss={float(loss):.4f} "
-                f"mse={float(mse):.4f}")
-    losses = [float(x) for x in losses]
-    mses = [float(x) for x in mses]
-    trained = {"params": params, "batch_stats": stats}
-    with open(PARAMS_OUT, "wb") as f:
-        pickle.dump(jax.tree_util.tree_map(np.asarray, trained), f)
-    log(f"saved trained diffusion params to {PARAMS_OUT}")
+        key = jax.random.PRNGKey(1)
+        losses, mses = [], []
+        log(f"training diffusion {TRAIN_STEPS} steps (compile on first)")
+        for i in range(TRAIN_STEPS):
+            key, k, kd = jax.random.split(key, 3)
+            drop = jax.random.uniform(kd, ()) < UNCOND_PROB
+            part_in = jnp.where(drop, 0.0, 1.0) * part_j
+            params, stats, opt_state, loss, mse = step(params, stats,
+                                                       opt_state, k, part_in)
+            if i == 0:
+                jax.block_until_ready(loss)
+                log(f"train step 0 done (loss={float(loss):.4f})")
+            losses.append(loss)
+            mses.append(mse)
+            if (i + 1) % 1000 == 0:
+                log(f"train step {i + 1}: loss={float(loss):.4f} "
+                    f"mse={float(mse):.4f}")
+        losses = [float(x) for x in losses]
+        mses = [float(x) for x in mses]
+        trained = {"params": params, "batch_stats": stats}
+        with open(PARAMS_OUT, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, trained), f)
+        log(f"saved trained diffusion params to {PARAMS_OUT}")
 
     # ---------------- refinement training (f32) ----------------
     rtask = RefineTask(cfg)
@@ -248,9 +267,12 @@ def main():
 
     @jax.jit
     def rstep(params, stats, opt_state, key):
-        # reference Aggr recipe: input = GT + clip(sigma 0.2 jitter, 0.3)
-        noise = jnp.clip(0.2 * jax.random.normal(key, full_j.shape),
-                         -0.3, 0.3)
+        # reference Aggr recipe shape: input = GT + clipped jitter
+        # (SemanticKITTITemporalAggr.py:83 uses 0.2/0.3); sigma/clip are
+        # matched to the refiner's actual test-time input residual via
+        # QE_REFINE_SIGMA/QE_REFINE_CLIP
+        noise = jnp.clip(REFINE_SIGMA * jax.random.normal(key, full_j.shape),
+                         -REFINE_CLIP, REFINE_CLIP)
         batch = {"pcd_noise": full_j + noise, "pcd_full": full_j}
         (loss, (stats, m)), grads = jax.value_and_grad(
             rtask.loss_fn, has_aux=True)(params, stats, batch, key)
@@ -344,13 +366,19 @@ def main():
             "s_steps": S_STEPS, "train_steps": TRAIN_STEPS,
             "refine_steps": REFINE_STEPS, "up_factor": UP_FACTOR,
             "uncond_prob": UNCOND_PROB, "lr": LR,
+            "refine_sigma": REFINE_SIGMA, "refine_clip": REFINE_CLIP,
+            "diff_params": ("reused:" + LOAD_PARAMS if LOAD_PARAMS
+                            else "trained in-run"),
             "seeds": seeds, "sampler": "dpm-solver++(2M,SDE)",
             "postprocess": "reference test_step range+z-stat crop "
                            "(models.py:303-310)",
             "device": str(jax.devices()[0]),
-            "train_loss_first10": round(float(np.mean(losses[:10])), 4),
-            "train_loss_last10": round(float(np.mean(losses[-10:])), 4),
-            "train_mse_last10": round(float(np.mean(mses[-10:])), 4),
+            "train_loss_first10": (round(float(np.mean(losses[:10])), 4)
+                                   if losses else None),
+            "train_loss_last10": (round(float(np.mean(losses[-10:])), 4)
+                                  if losses else None),
+            "train_mse_last10": (round(float(np.mean(mses[-10:])), 4)
+                                 if mses else None),
             "refine_cd_first10": round(float(np.mean(rlosses[:10])), 4),
             "refine_cd_last10": round(float(np.mean(rlosses[-10:])), 4),
         },

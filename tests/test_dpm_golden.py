@@ -134,6 +134,103 @@ def test_sde_dpmsolver_2m_matches_diffusers_oracle(S):
                     f"diffusers-0.18.0 oracle")
 
 
+def oracle_trajectory_ode(x0_sample, eps_fn, T, S, b0, b1):
+    """diffusers-0.18.0 'dpmsolver++' (deterministic) order-2 trajectory:
+      1st order:  x <- (sig[p]/sig[t]) x - alpha[p] (exp(-h) - 1) x0
+      2nd order:  x <- (sig[p]/sig[s0]) x - alpha[p] (exp(-h) - 1) D0
+                       - 0.5 alpha[p] (exp(-h) - 1) D1
+    (multistep_dpm_solver_second_order_update, algorithm 'dpmsolver++',
+    solver_type 'midpoint')."""
+    alpha_t, sigma_t, lam = oracle_tables(T, b0, b1)
+    timesteps = (np.linspace(0, T - 1, S + 1).round()[::-1][:-1]
+                 .astype(np.int64))
+    x = x0_sample.astype(np.float64).copy()
+    model_outputs = [None, None]
+    lower_order_nums = 0
+    traj = []
+    for i, t in enumerate(timesteps):
+        prev_t = 0 if i == len(timesteps) - 1 else int(timesteps[i + 1])
+        eps = eps_fn(x, int(t))
+        x0_pred = (x - sigma_t[t] * eps) / alpha_t[t]
+        model_outputs[0] = model_outputs[1]
+        model_outputs[1] = x0_pred
+        lower_order_final = (i == len(timesteps) - 1) and S < 15
+        h = lam[prev_t] - lam[t]
+        if lower_order_nums < 1 or lower_order_final:
+            x = ((sigma_t[prev_t] / sigma_t[t]) * x
+                 - alpha_t[prev_t] * (np.exp(-h) - 1.0) * x0_pred)
+        else:
+            s0, s1 = int(t), int(timesteps[i - 1])
+            m0, m1 = model_outputs[1], model_outputs[0]
+            h = lam[prev_t] - lam[s0]
+            h_0 = lam[s0] - lam[s1]
+            r0 = h_0 / h
+            d0, d1 = m0, (m0 - m1) / r0
+            x = ((sigma_t[prev_t] / sigma_t[s0]) * x
+                 - alpha_t[prev_t] * (np.exp(-h) - 1.0) * d0
+                 - 0.5 * alpha_t[prev_t] * (np.exp(-h) - 1.0) * d1)
+        if lower_order_nums < 2:
+            lower_order_nums += 1
+        traj.append(x.copy())
+    return timesteps, np.stack(traj)
+
+
+@pytest.mark.parametrize("S", [2, 8, 50])
+def test_ode_dpmsolver_2m_matches_diffusers_oracle(S):
+    rng = np.random.default_rng(2)
+    shape = (64, 3)
+    x_init = rng.standard_normal(shape)
+
+    solver = make_dpm_solver("linear", T, S, B0, B1,
+                             algorithm="dpmsolver++")
+    assert not solver.sde
+    ts_oracle, traj_oracle = oracle_trajectory_ode(
+        x_init, scripted_eps, T, S, B0, B1)
+    np.testing.assert_array_equal(np.asarray(solver.timesteps), ts_oracle)
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = init_state(jnp.asarray(x_init, jnp.float32))
+    for i in range(S):
+        t = int(ts_oracle[i])
+        eps = scripted_eps(np.asarray(state.sample, np.float64), t)
+        state = solver_step(solver, state,
+                            jnp.asarray(eps, jnp.float32), zeros)
+        np.testing.assert_allclose(
+            np.asarray(state.sample, np.float64), traj_oracle[i],
+            rtol=2e-5, atol=2e-5,
+            err_msg=f"ODE S={S} step {i} (t={t}) diverged from the "
+                    f"diffusers-0.18.0 oracle")
+
+
+@pytest.mark.parametrize("algorithm", ["sde-dpmsolver++", "dpmsolver++"])
+def test_solver_converges_to_x0_with_true_eps(algorithm):
+    """With the exact eps for a known x0 (VP parametrization), both
+    algorithms must drive the sample to x0 as t -> 0 (sigma_0 ~ 6e-3)."""
+    rng = np.random.default_rng(3)
+    alpha_t, sigma_t, _ = oracle_tables(T, B0, B1)
+    x0 = rng.standard_normal((32, 3))
+    S = 50
+    solver = make_dpm_solver("linear", T, S, B0, B1, algorithm=algorithm)
+    t_hi = int(np.asarray(solver.timesteps)[0])
+    z0 = rng.standard_normal((32, 3))
+    x_init = alpha_t[t_hi] * x0 + sigma_t[t_hi] * z0
+
+    state = init_state(jnp.asarray(x_init, jnp.float32))
+    key = jax.random.PRNGKey(0)
+    for i in range(S):
+        t = int(np.asarray(solver.timesteps)[i])
+        eps = (np.asarray(state.sample, np.float64)
+               - alpha_t[t] * x0) / sigma_t[t]
+        key, k = jax.random.split(key)
+        z = (jax.random.normal(k, x0.shape) if algorithm.startswith("sde")
+             else jnp.zeros(x0.shape, jnp.float32))
+        state = solver_step(solver, state,
+                            jnp.asarray(eps, jnp.float32), z)
+    got = np.asarray(state.sample, np.float64)
+    err = np.abs(got - x0).max()
+    assert err < 0.05, f"{algorithm}: final sample off x0 by {err}"
+
+
 def test_branches_are_exercised():
     """Pin the branch structure: S=8 must use 1st order at steps 0 and S-1
     (lower_order_final), 2nd order in between; S=50 must use 2nd order at
