@@ -101,9 +101,25 @@ def log(msg):
 T0 = time.time()
 
 
+OCCLUDE_BALLS = int(os.environ.get("QE_OCCLUDE_BALLS", 30))
+OCCLUDE_R = float(os.environ.get("QE_OCCLUDE_R", 3.0))
+
+
 def load_scene():
     """GT scene + partial input from the reference demo scan; synthetic
-    two-plane room fallback when the reference tree is absent."""
+    two-plane room fallback when the reference tree is absent.
+
+    The partial is FPS'd from the scan AFTER deleting QE_OCCLUDE_BALLS
+    random spherical patches (radius QE_OCCLUDE_R, seeded): in the
+    reference task the ground truth is a pose-aggregated MAP that
+    contains geometry the single input scan never observed
+    (SemanticKITTITemporal.py:97-105), so completion can add information.
+    A pure FPS-subset partial (rounds 4/early-5) lies EXACTLY on the GT
+    with near-full coverage — a copy-the-input baseline is then optimal
+    on CD by construction and 'beat the baseline' is unwinnable
+    regardless of model quality. The occlusion patches restore the
+    real task semantics on a single scene. QE_OCCLUDE_BALLS=0 disables
+    (the old protocol)."""
     from lidiff_tpu.ops.fps import fps
     if os.path.exists(REF_SCAN):
         from lidiff_tpu.utils.ply import read_ply
@@ -121,7 +137,13 @@ def load_scene():
         wall = np.stack([xz[:, 0], np.full(n2, 8.0), xz[:, 1]], 1)
         gt = np.concatenate([ground, wall]).astype(np.float32)
         src = "synthetic-planes"
-    part = fps(gt, NP_PART).astype(np.float32)
+    vis = gt
+    if OCCLUDE_BALLS > 0:
+        rng = np.random.default_rng(42)
+        centers = gt[rng.choice(len(gt), OCCLUDE_BALLS, replace=False)]
+        d2 = ((gt[:, None, :] - centers[None]) ** 2).sum(-1).min(1)
+        vis = gt[d2 > OCCLUDE_R * OCCLUDE_R]
+    part = fps(vis, NP_PART).astype(np.float32)
     return gt, part, src
 
 
@@ -367,6 +389,7 @@ def main():
             "refine_steps": REFINE_STEPS, "up_factor": UP_FACTOR,
             "uncond_prob": UNCOND_PROB, "lr": LR,
             "refine_sigma": REFINE_SIGMA, "refine_clip": REFINE_CLIP,
+            "occlude_balls": OCCLUDE_BALLS, "occlude_r": OCCLUDE_R,
             "diff_params": ("reused:" + LOAD_PARAMS if LOAD_PARAMS
                             else "trained in-run"),
             "seeds": seeds, "sampler": "dpm-solver++(2M,SDE)",
