@@ -96,7 +96,7 @@ class ColumnKernelMap:
     col_r: jnp.ndarray | None = None    # [nt, 9, T] int32
     hit_r: jnp.ndarray | None = None    # [nt, 27, T] int8
     overflow: jnp.ndarray | None = None  # [] int32 window-overflow count
-    # {(tile, wrows): (lo, nb, col4, hit4)} per production conv geometry
+    # {(tile, wrows): (lo, col4, hit4)} per production conv geometry
     # (ops/pallas_conv.regroup_for_geometry) — built once per level so the
     # ~40 convs sharing this map skip their regroup/overflow prologs
     pre: dict | None = None

@@ -53,7 +53,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128          # output rows per grid step
 DEFAULT_NBLK = 4    # window blocks per column (covers offsets < nblk*T)
-BLK_ROWS = 128      # v2 span-predication granularity (window sub-blocks)
 
 
 def _window_overflow(r0, hit_z, W):
@@ -80,46 +79,13 @@ def _window_overflow(r0, hit_z, W):
             + jnp.sum((m2 != 0) & _oob(r2))).astype(jnp.int32)
 
 
-def _live_blocks(rel, hit4, wrows: int):
-    """Span-predication table: per (tile, column), how many BLK_ROWS
-    window blocks from the window start hold hit target rows. Keys are
-    sorted, so hit rows form a contiguous run from the start; blocks past
-    the count are skipped by the kernel (DMA and gather GEMM). Missed
-    taps aim at one-hot row -1 and never extend the count; a column with
-    no hits gets 0 and is skipped entirely.
-
-    Args:
-      rel: [nt, 9, T] int32 window-relative slab base rows.
-      hit4: [nt, 9, 3, T] z-tap hit masks.
-      wrows: static window rows (a BLK_ROWS multiple).
-    Returns [nt, 9] int32 in [0, wrows // BLK_ROWS].
-    """
-    m0 = hit4[:, :, 0, :].astype(jnp.int32)
-    m1 = hit4[:, :, 1, :].astype(jnp.int32)
-    m2 = hit4[:, :, 2, :].astype(jnp.int32)
-    r0 = rel
-    r1 = r0 + m0
-    r2 = r1 + m1
-    neg = jnp.int32(-1)
-    rmax = jnp.maximum(
-        jnp.maximum(jnp.where(m0 != 0, r0, neg),
-                    jnp.where(m1 != 0, r1, neg)),
-        jnp.where(m2 != 0, r2, neg)).max(axis=2)             # [nt, 9]
-    return jnp.clip(-(-(rmax + 1) // BLK_ROWS), 0,
-                    wrows // BLK_ROWS).astype(jnp.int32)
-
-
 def regroup_for_geometry(col_r, hit_r, tile: int, wrows: int):
     """Per-(tile, wrows) conv-kernel inputs derived from the kernel-map
     builder's TILE-row layout: regrouped index/hit tiles, 32-row-aligned
-    window starts, the per-(tile, column) count of live BLK_ROWS window
-    blocks (the span-predication table: blocks past the last hit row are
-    skipped by the kernel's DMA and gather GEMM), and the exact
-    dropped-tap count that geometry incurs.
+    window starts, and the exact dropped-tap count that geometry incurs.
 
-    Returns (lo [nt, 9] int32, nb [nt, 9] int32 live block counts,
-             col4 [nt, 9, 1, tile] int32, hit4 [nt, 9, 3, tile] int8,
-             overflow [] int32).
+    Returns (lo [nt, 9] int32, col4 [nt, 9, 1, tile] int32,
+             hit4 [nt, 9, 3, tile] int8, overflow [] int32).
     Computed ONCE per level by the builder (ColumnKernelMap.pre) so the
     ~40 convs sharing a map skip the transposes and overflow prolog.
     """
@@ -140,15 +106,14 @@ def regroup_for_geometry(col_r, hit_r, tile: int, wrows: int):
     rel = col - lo[:, :, None]
     overflow = _window_overflow(rel.transpose(0, 2, 1),
                                 hit.transpose(0, 3, 1, 2), wrows)
-    nb = _live_blocks(rel, hit, wrows)
-    return (lo, nb, col.reshape(nt, 9, 1, tile),
+    return (lo, col.reshape(nt, 9, 1, tile),
             hit.astype(jnp.int8), overflow)
 
 
 def window_overflow_for_geometry(col_r, hit_r, tile: int, wrows: int):
     """Dropped-tap count the v2 conv kernel would incur at (tile, wrows)
     on this kernel map (see regroup_for_geometry)."""
-    return regroup_for_geometry(col_r, hit_r, tile, wrows)[4]
+    return regroup_for_geometry(col_r, hit_r, tile, wrows)[3]
 
 
 def _make_kernel(T: int, C: int, Co: int, G: int, nblk: int, relu: bool):
@@ -531,19 +496,10 @@ def _make_dw_kernel_v2(T: int, C: int, Co: int, G: int, nt: int, W: int,
     and selector work per row than the nblk=4 auto-pipelined windows),
     accumulating slab^T @ g into the VMEM-resident [9, 3C, Co] output."""
 
-    NB = W // BLK_ROWS
-    BS = BLK_ROWS
-
-    def kernel(lonb_ref, nv_ref, col_ref, hit_ref, g_in_ref, mask_ref,
+    def kernel(lo_ref, nv_ref, col_ref, hit_ref, g_in_ref, mask_ref,
                feats_any, dw_ref, wnd, sems):
         i = pl.program_id(0)
         dt = wnd.dtype
-
-        # packed (lo, nb) scalar operand — see _make_kernel_v2
-        def lo_nb(step, j):
-            v = lonb_ref[step, j]
-            nbv = v % 32
-            return v - nbv, nbv
 
         @pl.when(i == 0)
         def _init():
@@ -552,21 +508,12 @@ def _make_dw_kernel_v2(T: int, C: int, Co: int, G: int, nt: int, W: int,
         def live(step):
             return step * T < nv_ref[0]
 
-        # span predication over BLK_ROWS window blocks, exactly as the
-        # forward kernel (see _make_kernel_v2): blocks past the live
-        # count skip DMA and gather GEMM; stale VMEM in skipped blocks is
-        # never targeted by a one-hot selector row.
         def issue(step, slot):
             for j in range(9):
-                lo, nbv = lo_nb(step, j)
-                st = pl.multiple_of(lo, 32)
-                for k in range(NB):
-                    @pl.when(nbv > k)
-                    def _issue_blk(j=j, k=k, st=st):
-                        pltpu.make_async_copy(
-                            feats_any.at[pl.ds(st + k * BS, BS), :],
-                            wnd.at[slot, j, k * BS:(k + 1) * BS],
-                            sems.at[slot, j, k]).start()
+                st = pl.multiple_of(lo_ref[step, j], 32)
+                pltpu.make_async_copy(
+                    feats_any.at[pl.ds(st, W), :],
+                    wnd.at[slot, j], sems.at[slot, j]).start()
 
         @pl.when((i == 0) & live(0))
         def _first():
@@ -580,44 +527,27 @@ def _make_dw_kernel_v2(T: int, C: int, Co: int, G: int, nt: int, W: int,
         def _compute():
             slot = i % 2
             for j in range(9):
-                lo, nbv = lo_nb(i, j)
-                st = pl.multiple_of(lo, 32)
-                for k in range(NB):
-                    @pl.when(nbv > k)
-                    def _wait_blk(j=j, k=k, st=st):
-                        pltpu.make_async_copy(
-                            feats_any.at[pl.ds(st + k * BS, BS), :],
-                            wnd.at[slot, j, k * BS:(k + 1) * BS],
-                            sems.at[slot, j, k]).wait()
+                st = pl.multiple_of(lo_ref[i, j], 32)
+                pltpu.make_async_copy(
+                    feats_any.at[pl.ds(st, W), :],
+                    wnd.at[slot, j], sems.at[slot, j]).wait()
             keep = mask_ref[0, 0, :].astype(jnp.int32)[:, None] != 0
             gt = jnp.where(keep, g_in_ref[:], 0).astype(dt)   # [T, G*Co]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, BS), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
             for j in range(9):
-                lo, nbv = lo_nb(i, j)
+                lo = lo_ref[i, j]
                 r0 = col_ref[0, j, 0, :] - lo
                 m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
                 m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
                 m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
                 r1 = r0 + m0
                 r2 = r1 + m1
-                rr = [jnp.where(m != 0, r, -1)
-                      for m, r in ((m0, r0), (m1, r1), (m2, r2))]
-
-                def blk_body(k, gz3):
-                    base = k * BS
-                    sels = [jnp.where(iota == (r - base)[:, None],
-                                      jnp.float32(1),
-                                      jnp.float32(0)).astype(dt)
-                            for r in rr]
-                    sel3 = jnp.concatenate(sels, axis=0)     # [3T, BS]
-                    win_k = wnd[slot, j, pl.ds(base, BS), :]
-                    return gz3 + jnp.dot(sel3, win_k,
-                                         preferred_element_type=jnp.float32)
-
-                gz3 = jax.lax.fori_loop(
-                    0, nbv, blk_body,
-                    jnp.zeros((3 * T, CGp), jnp.float32))
-                gz = [gz3[0:T], gz3[T:2 * T], gz3[2 * T:3 * T]]
+                sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
+                                  jnp.float32(1), jnp.float32(0)).astype(dt)
+                        for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+                win = wnd[slot, j]                            # [W, CGp]
+                gz = [jnp.dot(sel, win, preferred_element_type=jnp.float32)
+                      for sel in sels]
                 acc = jnp.zeros((3 * C, Co), jnp.float32)
                 for gi in range(G):
                     sl = slice(gi * C, (gi + 1) * C)
@@ -676,37 +606,33 @@ def conv_columns_pallas_dw_v2(feats, g, col_idx, hit, out_mask, *,
     mask_r = om.reshape(nt, 1, T)
 
     if pre is not None:
-        lo, nb, col4, hit4 = pre
+        lo, col4, hit4 = pre
         assert col4.shape == (nt, 9, 1, T), (col4.shape, nt, T)
     else:
         if col_r is None or hit_r is None:
             col_r, hit_r = _raw_to_tiled(col_idx, hit, V)
-        lo, nb, col4, hit4, _ = regroup_for_geometry(col_r, hit_r, T, W)
+        lo, col4, hit4, _ = regroup_for_geometry(col_r, hit_r, T, W)
 
     nv = (jnp.full((1,), V, jnp.int32) if nvalid is None
           else jnp.asarray(nvalid, jnp.int32).reshape(1))
-    assert W % BLK_ROWS == 0, (W, BLK_ROWS)
-    lonb = lo + nb           # packed scalar operand — see the fwd wrapper
     kernel = _make_dw_kernel_v2(T, C, Co, G, nt, W, CGp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 9, 1, T), lambda i, lonb_ref, nv_ref:
+            pl.BlockSpec((1, 9, 1, T), lambda i, lo_ref, nv_ref:
                          (i, 0, 0, 0)),
-            pl.BlockSpec((1, 9, 3, T), lambda i, lonb_ref, nv_ref:
+            pl.BlockSpec((1, 9, 3, T), lambda i, lo_ref, nv_ref:
                          (i, 0, 0, 0)),
-            pl.BlockSpec((T, G * Co), lambda i, lonb_ref, nv_ref:
-                         (i, 0)),
-            pl.BlockSpec((1, 1, T), lambda i, lonb_ref, nv_ref:
-                         (i, 0, 0)),
+            pl.BlockSpec((T, G * Co), lambda i, lo_ref, nv_ref: (i, 0)),
+            pl.BlockSpec((1, 1, T), lambda i, lo_ref, nv_ref: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),               # feats
         ],
         out_specs=pl.BlockSpec((9, 3 * C, Co),
-                               lambda i, lonb_ref, nv_ref: (0, 0, 0)),
+                               lambda i, lo_ref, nv_ref: (0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, W, CGp), dt),
-            pltpu.SemaphoreType.DMA((2, 9, W // BLK_ROWS)),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     dw9 = pl.pallas_call(
@@ -714,7 +640,7 @@ def conv_columns_pallas_dw_v2(feats, g, col_idx, hit, out_mask, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((9, 3 * C, Co), jnp.float32),
         interpret=interpret,
-    )(lonb, nv, col4, hit4, gp, mask_r, fp)
+    )(lo, nv, col4, hit4, gp, mask_r, fp)
     return dw9.reshape(9, 3, C, Co).reshape(27, C, Co)
 
 
@@ -818,28 +744,15 @@ conv_columns_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
 # ---------------------------------------------------------------------------
 
 TILE_V2 = 128       # v2 output rows per grid step
-W_ROWS = 384        # worst-case window rows (3 BLK_ROWS blocks >= the
-                    # measured span(128)<=249 + 31 align; typical tiles
-                    # touch far fewer blocks — see span predication below)
+W_ROWS = 320        # manual window rows: span(128)<=249 + 31 align + margin
 
 
 def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
                     W: int, CGp: int, quant: bool = False):
-    NB = W // BLK_ROWS
-    BS = BLK_ROWS
 
-    def kernel(lonb_ref, nv_ref, col_ref, hit_ref, w_ref, mask_ref,
-               bias_ref, feats_any, o_ref, wnd, sems):
+    def kernel(lo_ref, nv_ref, col_ref, hit_ref, w_ref, mask_ref, bias_ref,
+               feats_any, o_ref, wnd, sems):
         i = pl.program_id(0)
-
-        # (lo, nb) ride in ONE scalar-prefetch operand: SMEM pads each
-        # [nt, 9] operand to full 128-int lanes (~704 KB at 180k rows), so
-        # a second operand would blow the 1 MB SMEM budget. lo is 32-row
-        # aligned, nb <= W/BLK_ROWS < 32, so nb lives in lo's low 5 bits.
-        def lo_nb(step, j):
-            v = lonb_ref[step, j]
-            nbv = v % 32
-            return v - nbv, nbv
         # quant: the window payload is int8 (per-channel-quantized feats;
         # scales are folded into w_ref's rows by the caller), the one-hot
         # gather GEMM runs on the int8 MXU path at 2x rate with an exact
@@ -853,25 +766,12 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
         def live(step):
             return step * T < nv_ref[0]
 
-        # span predication: the W-row window is split into NB blocks of
-        # BS rows; nb_ref counts how many hold hit target rows (keys are
-        # sorted, so the run is contiguous from the window start — the
-        # builder measured means of 0.7-2.1 live blocks where the static
-        # worst case pays NB = 2.5-4). Blocks past the count skip both
-        # their DMA and their gather GEMM. Skipped blocks may hold STALE
-        # VMEM data from earlier tiles, which is safe: every one-hot
-        # selector row either targets a row inside a live block or row -1.
         def issue(step, slot):
             for j in range(9):
-                lo, nbv = lo_nb(step, j)
-                st = pl.multiple_of(lo, 32)
-                for k in range(NB):
-                    @pl.when(nbv > k)
-                    def _issue_blk(j=j, k=k, st=st):
-                        pltpu.make_async_copy(
-                            feats_any.at[pl.ds(st + k * BS, BS), :],
-                            wnd.at[slot, j, k * BS:(k + 1) * BS],
-                            sems.at[slot, j, k]).start()
+                st = pl.multiple_of(lo_ref[step, j], 32)
+                pltpu.make_async_copy(
+                    feats_any.at[pl.ds(st, W), :],
+                    wnd.at[slot, j], sems.at[slot, j]).start()
 
         @pl.when((i == 0) & live(0))
         def _first():
@@ -889,53 +789,33 @@ def _make_kernel_v2(T: int, C: int, Co: int, G: int, relu: bool, nt: int,
         def _compute():
             slot = i % 2
             for j in range(9):
-                lo, nbv = lo_nb(i, j)
-                st = pl.multiple_of(lo, 32)
-                for k in range(NB):
-                    @pl.when(nbv > k)
-                    def _wait_blk(j=j, k=k, st=st):
-                        pltpu.make_async_copy(
-                            feats_any.at[pl.ds(st + k * BS, BS), :],
-                            wnd.at[slot, j, k * BS:(k + 1) * BS],
-                            sems.at[slot, j, k]).wait()
+                st = pl.multiple_of(lo_ref[i, j], 32)
+                pltpu.make_async_copy(
+                    feats_any.at[pl.ds(st, W), :],
+                    wnd.at[slot, j], sems.at[slot, j]).wait()
 
-            iota = jax.lax.broadcasted_iota(jnp.int32, (T, BS), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
             sel_dt = jnp.int8 if quant else dt
             acc_dt = jnp.int32 if quant else jnp.float32
             accs = [jnp.zeros((T, Co), jnp.float32) for _ in range(G)]
             for j in range(9):
-                lo, nbv = lo_nb(i, j)
+                lo = lo_ref[i, j]
                 r0 = col_ref[0, j, 0, :] - lo
                 m0 = hit_ref[0, j, 0, :].astype(jnp.int32)
                 m1 = hit_ref[0, j, 1, :].astype(jnp.int32)
                 m2 = hit_ref[0, j, 2, :].astype(jnp.int32)
                 r1 = r0 + m0
                 r2 = r1 + m1
-                rr = [jnp.where(m != 0, r, -1)
-                      for m, r in ((m0, r0), (m1, r1), (m2, r2))]
-
-                # gather GEMM over the LIVE window blocks only: the three
-                # z-tap selectors are stacked to one [3T, BS] one-hot per
-                # block (M=3T fills the MXU better than three [T, BS]
-                # dots), accumulated over a dynamic-trip-count loop
-                def blk_body(k, gz3):
-                    base = k * BS
-                    sels = [jnp.where(iota == (r - base)[:, None],
-                                      jnp.float32(1),
-                                      jnp.float32(0)).astype(sel_dt)
-                            for r in rr]
-                    sel3 = jnp.concatenate(sels, axis=0)     # [3T, BS]
-                    win_k = wnd[slot, j, pl.ds(base, BS), :]
-                    return gz3 + jnp.dot(sel3, win_k,
-                                         preferred_element_type=acc_dt)
-
-                gz3 = jax.lax.fori_loop(
-                    0, nbv, blk_body,
-                    jnp.zeros((3 * T, CGp), acc_dt))
+                sels = [jnp.where(iota == jnp.where(m != 0, r, -1)[:, None],
+                                  jnp.float32(1),
+                                  jnp.float32(0)).astype(sel_dt)
+                        for m, r in ((m0, r0), (m1, r1), (m2, r2))]
+                win = wnd[slot, j]                    # [W, CGp]
+                gz = [jnp.dot(sel, win, preferred_element_type=acc_dt)
+                      for sel in sels]
                 if quant:
                     # |q| <= 127: the int32 row pick casts exactly
-                    gz3 = gz3.astype(dt)
-                gz = [gz3[0:T], gz3[T:2 * T], gz3[2 * T:3 * T]]
+                    gz = [g.astype(dt) for g in gz]
                 w3 = w_ref[j]
                 for gi in range(G):
                     sl = slice(gi * C, (gi + 1) * C)
@@ -967,7 +847,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
                            pre=None, nvalid=None, quant: bool = False):
     """Manual-DMA variant of conv_columns_pallas (identical math).
 
-    `pre`: optional (lo, nb, col4, hit4) from regroup_for_geometry for THIS
+    `pre`: optional (lo, col4, hit4) from regroup_for_geometry for THIS
     (tile, wrows) — skips the per-call regroup/window/overflow prolog
     (overflow is then the builder's per-level counter, reported 0 here).
     `nvalid`: optional [] int32 count of valid voxels (they are the FIRST
@@ -1052,13 +932,12 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     if pre is not None:
         # per-level precomputed geometry (builder): no per-call prolog;
         # overflow is the builder's per-level counter
-        lo, nb, col4, hit4g = pre
+        lo, col4, hit4g = pre
         assert col4.shape == (nt, 9, 1, T), (col4.shape, nt, T)
         hit4 = hit4g
         overflow = jnp.int32(0)
     elif col_r is not None and hit_r is not None:
-        lo, nb, col4, hit4, overflow = regroup_for_geometry(col_r, hit_r,
-                                                            T, W)
+        lo, col4, hit4, overflow = regroup_for_geometry(col_r, hit_r, T, W)
     else:
         ci = jnp.pad(col_idx, ((0, Vp - V), (0, 0)))
         ht = jnp.pad(hit.astype(jnp.int8), ((0, Vp - V), (0, 0)))
@@ -1075,7 +954,6 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         rel = col4[:, :, 0, :] - lo[:, :, None]              # [nt, 9, T]
         overflow = _window_overflow(rel.transpose(0, 2, 1),
                                     hit4.transpose(0, 3, 1, 2), W)
-        nb = _live_blocks(rel, hit4, W)
 
     if bias is None:
         bias = jnp.zeros((Co,), jnp.float32)
@@ -1085,32 +963,26 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
     nv = (jnp.full((1,), V, jnp.int32) if nvalid is None
           else jnp.asarray(nvalid, jnp.int32).reshape(1))
 
-    assert W % BLK_ROWS == 0, (W, BLK_ROWS)
-    # pack the live-block count into lo's low 5 bits (lo is 32-aligned,
-    # nb <= W/BLK_ROWS < 32): a second [nt, 9] scalar-prefetch operand
-    # would double the ~704 KB lane-padded SMEM footprint at 180k rows
-    # and blow the 1 MB SMEM budget
-    lonb = lo + nb
     kernel = _make_kernel_v2(T, C, Co, G, relu, nt, W, CGp, quant=quant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 9, 1, T), lambda i, lonb_ref, nv_ref:
+            pl.BlockSpec((1, 9, 1, T), lambda i, lo_ref, nv_ref:
                          (i, 0, 0, 0)),
-            pl.BlockSpec((1, 9, 3, T), lambda i, lonb_ref, nv_ref:
+            pl.BlockSpec((1, 9, 3, T), lambda i, lo_ref, nv_ref:
                          (i, 0, 0, 0)),
-            pl.BlockSpec((9, 3 * C, Co), lambda i, lonb_ref, nv_ref:
+            pl.BlockSpec((9, 3 * C, Co), lambda i, lo_ref, nv_ref:
                          (0, 0, 0)),
-            pl.BlockSpec((1, 1, T), lambda i, lonb_ref, nv_ref: (i, 0, 0)),
-            pl.BlockSpec((1, Co), lambda i, lonb_ref, nv_ref: (0, 0)),
+            pl.BlockSpec((1, 1, T), lambda i, lo_ref, nv_ref: (i, 0, 0)),
+            pl.BlockSpec((1, Co), lambda i, lo_ref, nv_ref: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),               # feats
         ],
         out_specs=pl.BlockSpec((T, G * Co),
-                               lambda i, lonb_ref, nv_ref: (i, 0)),
+                               lambda i, lo_ref, nv_ref: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, W, CGp), wdt),
-            pltpu.SemaphoreType.DMA((2, 9, W // BLK_ROWS)),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     out = pl.pallas_call(
@@ -1118,7 +990,7 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Vp, G * Co), odt),
         interpret=interpret,
-    )(lonb, nv, col4, hit4, w3, mask_r, bias2, fp)
+    )(lo, nv, col4, hit4, w3, mask_r, bias2, fp)
     return out[:V], overflow
 
 
@@ -1129,13 +1001,8 @@ def conv_columns_pallas_v2(feats, col_idx, hit, weights, out_mask, *,
 # (C=128 G=2: 7.66 vs 8.95 ms v1, C=256 G=2 split: 16.0 vs 20.0).  The
 # two geometries here are the ONLY ones production convs run; the kernel-
 # map builder counts window overflow for exactly these (pallas_kmap.py).
-# wrows are BLK_ROWS multiples (span predication works in whole blocks);
-# the static size is the worst case — typical (tile, column) windows run
-# 0.7-2.1 live blocks (measured across all 5 levels at 180k points), so
-# the extra static block over the round-3 320/480 sizes is free and buys
-# span margin (strictly fewer window-overflow drops).
-DISPATCH_WIDE = (128, 384)     # (tile, wrows) for leaf G*C >= 256
-DISPATCH_NARROW = (256, 512)   # for leaf G*C <= 128
+DISPATCH_WIDE = (128, 320)     # (tile, wrows) for leaf G*C >= 256
+DISPATCH_NARROW = (256, 480)   # for leaf G*C <= 128
 
 
 def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
@@ -1146,7 +1013,7 @@ def conv_columns_dispatch(feats, col_idx, hit, weights, out_mask, *,
     """The production column conv: picks the fastest measured kernel
     geometry for the conv's width.  Identical math to v1/v2 (exact).
 
-    `pre`: optional dict {(tile, wrows): (lo, nb, col4, hit4)} from the kernel
+    `pre`: optional dict {(tile, wrows): (lo, col4, hit4)} from the kernel
     map builder (ColumnKernelMap.pre); `nvalid` see v2.
     `quant`: int8 window payload (see conv_columns_pallas_v2) — applied
     only to activation convs (Cin >= 32); the stem/head convs carry raw

@@ -219,9 +219,8 @@ def build_kmap3_columns_pallas(geom: VoxelGeom,
     hit_r8 = hit_r.astype(jnp.int8)
     pre = {}
     for tile_w in (DISPATCH_NARROW, DISPATCH_WIDE):
-        lo, nb, col4, hit4, ov = regroup_for_geometry(col_r, hit_r8,
-                                                      *tile_w)
-        pre[tile_w] = (lo, nb, col4, hit4)
+        lo, col4, hit4, ov = regroup_for_geometry(col_r, hit_r8, *tile_w)
+        pre[tile_w] = (lo, col4, hit4)
         overflow = overflow + ov
 
     return ColumnKernelMap(col_idx=col_idx, hit=hit, blk=blk,
